@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin shim over :mod:`mapreduce_docker_spark.registry`; every operator from
+SURVEY.md §2 registers there with a (spark, sf_dir) callable and — where
+SQL-expressible — a DuckDB oracle string. See COVERAGE.md for the
+§2-inventory -> query-name map.
 """
 
 from __future__ import annotations
@@ -13,26 +12,30 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mapreduce_docker_spark import registry
+from mapreduce_docker_spark.operators import wordcount as _wc
+from mapreduce_docker_spark.sources.catalog import load_table as _load_table
+
+_SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001: reference-parity word-count top-20.
+
+    Reproduces the reference's entire production pipeline (chunk scan ->
+    lowercase -> tokenize -> combine -> merge -> rank; reference
+    coordinator.py:47-134, worker.py:9-17) as one declarative plan over
+    ``documents.text``.
+    """
+    docs = _load_table(spark, _SMOKE_SF_DIR, "documents")
+    return _wc.wordcount_pipeline(docs, "text", k=20)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent ANSI SQL per query (omitted -> rows-only check)."""
+    return registry.oracle_sql()
