@@ -1,0 +1,752 @@
+"""Relational core over the star-schema fixtures (SURVEY §2 [EXT] surface).
+
+The reference implements zero joins / windows / set-ops (SURVEY §2.3, §2.5,
+§2.7) — this module is the mandated generalization, expressed purely with
+DataFrame built-ins so Catalyst handles pushdown, pruning, join selection
+and AQE handles runtime re-planning. Design rules applied throughout:
+
+* joins on bounded dims (``region`` 5 rows, ``nation`` 25 rows — fixed
+  cardinality at ANY scale factor) carry an explicit ``F.broadcast`` hint;
+  sf-scaled tables are left to Catalyst/AQE statistics;
+* every aggregate is partial-aggregation-friendly (sum/count/avg/min/max —
+  map-side combine happens automatically, the reference's key optimization,
+  reference worker.py:15 / README.md:131-141);
+* float results are rounded identically on the Spark and DuckDB sides so
+  cross-engine accumulation-order drift cannot surface in the value hash;
+* rankings that feed a LIMIT always carry a total deterministic ordering
+  (tie-break on a key column) — the lesson of the reference's
+  nondeterministic Counter tie order (SURVEY §2 T4);
+* no ``collect()`` anywhere: at 100 TB every one of these plans is a
+  shuffle-bounded DAG, the largest being q5's five-way join which AQE
+  resolves to broadcast joins for dims + sort-merge on the fact tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduce_docker_spark.functions.rounding import dround
+from mapreduce_docker_spark.registry import register
+from mapreduce_docker_spark.sources.catalog import load_table
+
+def _revenue():
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped analytical queries (J1-J2, A7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0                                    AS sum_qty,
+           floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0                               AS sum_base_price,
+           floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0            AS sum_disc_price,
+           floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0 + 0.5) / 100.0 AS sum_charge,
+           floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0                                    AS avg_qty,
+           floor((avg(l_extendedprice)) * 10000.0 + 0.5) / 10000.0                               AS avg_price,
+           floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    section="A7,P5",
+    note="TPC-H Q1 shape: scan-filter-aggregate, fully partial-agg-friendly",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    disc_price = _revenue()
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            dround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            dround(F.sum(disc_price), 2).alias("sum_disc_price"),
+            dround(F.sum(charge), 2).alias("sum_charge"),
+            dround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            dround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            dround(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    section="J1,A7,T1",
+    note="TPC-H Q3 shape: selective dim filter -> fact join -> grouped top-k",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dround(F.sum(_revenue()), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier",
+    """
+    SELECT n_name,
+           floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey   = c_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey
+    JOIN supplier ON s_suppkey   = l_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'EUROPE'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+    """,
+    section="J1,J2,A7",
+    note="TPC-H Q5 shape: five-way star join; region/nation broadcast-hinted",
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region, nation, cust, orders, li, supp = _t(
+        spark, sf_dir, "region", "nation", "customer", "orders", "lineitem", "supplier"
+    )
+    return (
+        F.broadcast(region.filter(F.col("r_name") == "EUROPE"))
+        .join(F.broadcast(nation), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(cust, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(dround(F.sum(_revenue()), 2).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join variants (J1-J4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_region_order_stats",
+    """
+    SELECT r_name,
+           count(*)                        AS n_orders,
+           floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0     AS total_spend
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey   = c_custkey
+    GROUP BY r_name
+    """,
+    section="J2,A7",
+    note="broadcast dim chain: 5-row and 25-row dims are broadcast at any sf",
+)
+def join_region_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region, nation, cust, orders = _t(spark, sf_dir, "region", "nation", "customer", "orders")
+    return (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dround(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "join_left_customer_orders",
+    """
+    SELECT c_custkey,
+           count(o_orderkey)                          AS n_orders,
+           floor((coalesce(sum(o_totalprice), 0)) * 100.0 + 0.5) / 100.0   AS total_spend
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+    section="J1",
+    note="left outer join preserving order-less customers (count of NULL key = 0)",
+)
+def join_left_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    return (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dround(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "join_semi_urgent_customers",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    """,
+    section="J3",
+    note="left-semi join: customers with >=1 urgent order",
+)
+def join_semi_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti_orderless_customers",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
+    )
+    """,
+    section="J3",
+    note="left-anti join: customers with no in-progress (P) order",
+)
+def join_anti_orderless_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    in_progress = orders.filter(F.col("o_orderstatus") == "P")
+    return cust.join(
+        in_progress, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_theta_acctbal_band",
+    """
+    SELECT s_suppkey, c_custkey,
+           floor((abs(s_acctbal - c_acctbal)) * 100.0 + 0.5) / 100.0 AS bal_gap
+    FROM supplier
+    JOIN customer
+      ON s_nationkey = c_nationkey
+     AND abs(s_acctbal - c_acctbal) < 10.0
+    """,
+    section="J4",
+    note="theta join: equi part (nation) keys the shuffle, band predicate is a post-join filter — at scale this avoids the pure nested-loop by construction",
+)
+def join_theta_acctbal_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp, cust = _t(spark, sf_dir, "supplier", "customer")
+    return (
+        supp.join(
+            cust,
+            (F.col("s_nationkey") == F.col("c_nationkey"))
+            & (F.abs(F.col("s_acctbal") - F.col("c_acctbal")) < 10.0),
+        )
+        .select(
+            "s_suppkey",
+            "c_custkey",
+            dround(F.abs(F.col("s_acctbal") - F.col("c_acctbal")), 2).alias("bal_gap"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation surface (A7): multi-key, stats, distinct, cube/rollup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_stats_by_segment",
+    """
+    SELECT c_mktsegment,
+           count(*)                       AS n_customers,
+           floor((sum(c_acctbal)) * 100.0 + 0.5) / 100.0       AS sum_bal,
+           floor((avg(c_acctbal)) * 10000.0 + 0.5) / 10000.0       AS avg_bal,
+           floor((min(c_acctbal)) * 100.0 + 0.5) / 100.0       AS min_bal,
+           floor((max(c_acctbal)) * 100.0 + 0.5) / 100.0       AS max_bal,
+           floor((stddev_samp(c_acctbal)) * 10000.0 + 0.5) / 10000.0 AS std_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    section="A7",
+)
+def agg_stats_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (cust,) = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dround(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        dround(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        dround(F.min("c_acctbal"), 2).alias("min_bal"),
+        dround(F.max("c_acctbal"), 2).alias("max_bal"),
+        dround(F.stddev_samp("c_acctbal"), 4).alias("std_bal"),
+    )
+
+
+@register(
+    "agg_distinct_customers",
+    """
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*)                  AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    section="A4,A7",
+    note="exact distinct agg; approx_count_distinct is the 100TB-scale variant (see tests)",
+)
+def agg_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "agg_cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*)                    AS n_orders,
+           floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    section="A7",
+    note="cube: all grouping-set combinations incl. grand total (NULL keys)",
+)
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dround(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "agg_rollup_region_nation",
+    """
+    SELECT r_name, n_name,
+           count(*)                    AS n_customers,
+           floor((sum(c_acctbal)) * 100.0 + 0.5) / 100.0    AS sum_bal
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    section="A7,J2",
+    note="hierarchical rollup region -> nation -> grand total",
+)
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region, nation, cust = _t(spark, sf_dir, "region", "nation", "customer")
+    joined = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dround(F.sum("c_acctbal"), 2).alias("sum_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (§2.5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, rn, rnk, drnk
+    FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER w AS rn,
+             rank()       OVER w AS rnk,
+             dense_rank() OVER w AS drnk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+    )
+    WHERE rn <= 3
+    """,
+    section="W:rank",
+    note="ranking family over a deterministic total order per customer",
+)
+def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running_spend",
+    """
+    SELECT o_custkey, o_orderkey,
+           floor((sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100.0 + 0.5) / 100.0 AS running_spend,
+           count(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)     AS order_seq
+    FROM orders
+    """,
+    section="W:frame",
+    note="running total with explicit rows-frame; o_orderkey tiebreak makes the frame deterministic under equal dates",
+)
+def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        dround(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        F.count(F.lit(1)).over(w).alias("order_seq"),
+    )
+
+
+@register(
+    "window_event_gaps",
+    """
+    SELECT user_id, event_id,
+           epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP)) OVER w AS gap_us,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP ASC, event_id ASC)
+    """,
+    section="W:analytic",
+    note="lag/lead over per-user event sequences; µs arithmetic on both engines",
+)
+def window_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    us = F.unix_micros(F.col("ts"))
+    return events.select(
+        "user_id",
+        "event_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "window_ntile_balance_quartiles",
+    """
+    SELECT q,
+           count(*)                 AS n,
+           floor((avg(c_acctbal)) * 10000.0 + 0.5) / 10000.0 AS avg_bal
+    FROM (
+      SELECT c_acctbal,
+             ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS q
+      FROM customer
+    )
+    GROUP BY q
+    """,
+    section="W:rank",
+    note="ntile bucketing then re-aggregation",
+)
+def window_ntile_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (cust,) = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.select("c_acctbal", F.ntile(4).over(w).alias("q"))
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).alias("n"), dround(F.avg("c_acctbal"), 4).alias("avg_bal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits (T1-T2 analogs) and set operations (§2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_orders_by_price",
+    """
+    SELECT o_orderkey, floor((o_totalprice) * 100.0 + 0.5) / 100.0 AS o_totalprice, o_orderstatus
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+    section="T1",
+    note="TakeOrderedAndProject: distributed heap top-k, the reference's most_common(k) analog",
+)
+def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            dround("o_totalprice", 2).alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "setop_union_segments",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    """,
+    section="SET",
+    note="union distinct of two predicates",
+)
+def setop_union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (cust,) = _t(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    return a.union(b).distinct()
+
+
+@register(
+    "setop_intersect_statuses",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    section="SET",
+    note="customers having both a finished and an open order",
+)
+def setop_intersect_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(o)
+
+
+@register(
+    "setop_except_statuses",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    section="SET",
+    note="customers with open orders and no finished ones",
+)
+def setop_except_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    # subtract == SQL EXCEPT (set semantics); exceptAll would keep surplus
+    # duplicates of keys that also appear on the right side
+    return o.subtract(f)
+
+
+@register(
+    "distinct_customer_status_pairs",
+    "SELECT DISTINCT o_custkey, o_orderstatus FROM orders",
+    section="SET,U1",
+    note="dropDuplicates == SELECT DISTINCT (exact dedup primitive)",
+)
+def distinct_customer_status_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.select("o_custkey", "o_orderstatus").dropDuplicates()
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function surface (§2.8 [EXT]): string / date / math / JSON / array
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string_part",
+    """
+    SELECT p_partkey,
+           upper(p_name)                                   AS name_upper,
+           CAST(length(p_name) AS INTEGER)                 AS name_len,
+           substring(p_name, 1, 8)                         AS name_prefix,
+           p_brand || '/' || p_type                        AS brand_type,
+           CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INTEGER) AS brand_num,
+           regexp_replace(p_type, '[aeiou]', '_')          AS type_devoweled,
+           CAST(levenshtein(p_brand, 'Brand#1') AS INTEGER) AS lev_to_b1,
+           CAST(p_name LIKE '%steel%' AS BOOLEAN)          AS has_steel
+    FROM part
+    """,
+    section="F:string",
+    note="string function surface; regexp flavors agree on this class of patterns",
+)
+def scalar_string_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).cast("int").alias("brand_num"),
+        F.regexp_replace("p_type", "[aeiou]", "_").alias("type_devoweled"),
+        F.levenshtein("p_brand", F.lit("Brand#1")).alias("lev_to_b1"),
+        F.col("p_name").like("%steel%").alias("has_steel"),
+    )
+
+
+@register(
+    "scalar_date_orders",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER)     AS o_year,
+           CAST(month(o_orderdate) AS INTEGER)    AS o_month,
+           CAST(quarter(o_orderdate) AS INTEGER)  AS o_quarter,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow_sun1,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER) AS days_since_epoch_start
+    FROM orders
+    """,
+    section="F:date",
+    note="date surface; DuckDB dayofweek is 0=Sunday vs Spark 1=Sunday, hence +1 on the oracle side",
+)
+def scalar_date_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.quarter("o_orderdate").alias("o_quarter"),
+        F.dayofweek("o_orderdate").alias("dow_sun1"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias(
+            "days_since_epoch_start"
+        ),
+    )
+
+
+@register(
+    "scalar_math_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber,
+           floor((l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS net_price,
+           floor((abs(l_extendedprice - 1000)) * 100.0 + 0.5) / 100.0        AS dist_from_1k,
+           floor((sqrt(l_quantity)) * 1000000.0 + 0.5) / 1000000.0                   AS qty_sqrt,
+           floor((pow(l_quantity, 2)) * 100.0 + 0.5) / 100.0                 AS qty_sq,
+           floor((ln(l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0                AS price_ln,
+           CAST(ceil(l_discount * 100) AS BIGINT)       AS disc_pct_ceil,
+           CAST(floor(l_tax * 100) AS BIGINT)           AS tax_pct_floor,
+           l_orderkey % 7                               AS key_mod7
+    FROM lineitem
+    """,
+    section="F:math",
+)
+def scalar_math_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        dround(_revenue(), 2).alias("net_price"),
+        dround(F.abs(F.col("l_extendedprice") - 1000), 2).alias("dist_from_1k"),
+        dround(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        dround(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+        dround(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
+        F.floor(F.col("l_tax") * 100).alias("tax_pct_floor"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+    )
+
+
+@register(
+    "json_event_props",
+    """
+    SELECT event_type,
+           count(*)                                                  AS n_events,
+           floor((avg(CAST(json_extract_string(props, '$.k') AS INTEGER))) * 10000.0 + 0.5) / 10000.0 AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS INTEGER))   AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    section="F:json",
+    note="JSON-in-string extraction (events.props) -> typed aggregation",
+)
+def json_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dround(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "array_embedding_stats",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER)                           AS dim,
+           floor((CAST(embedding[1] AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0                    AS first_component,
+           floor((sqrt(list_reduce(
+             list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+             (a, b) -> a + b))) * 1000000.0 + 0.5) / 1000000.0                                   AS l2_norm
+    FROM embeddings
+    """,
+    section="F:array",
+    note="array surface: size / element access / transform+aggregate fold (the dot-product building block for U3)",
+)
+def array_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        dround(F.col("embedding")[0].cast("double"), 6).alias("first_component"),
+        dround(F.sqrt(sq_sum), 6).alias("l2_norm"),
+    )

@@ -47,9 +47,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ns -> µs truncation (floor); matches DuckDB's TIMESTAMP_NS::TIMESTAMP
+        # ns -> µs truncation via INTEGER division (DIV): float division here
+        # would lose low bits at ~1.7e18 ns and drift ±1µs from DuckDB's
+        # parquet reader, which truncates exactly.
         df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
         )
     return df
 
