@@ -1,0 +1,380 @@
+"""Deduplication operators (SURVEY §2.10 U1-U2 [EXT]).
+
+The LLM-data-pipeline dedup surface over ``documents`` and ``embeddings``:
+
+* exact dedup — content-hash grouping (U1);
+* near-dedup — MinHash signatures over 3-gram word shingles, LSH band
+  blocking, exact Jaccard verification on candidates (U2). The fixture
+  vocabulary is ~31 words, so token-SET similarity saturates; shingling the
+  token SEQUENCE is what separates the 28 planted near-dup pairs (Jaccard
+  >= 0.9) from coincidental vocab overlap (< 0.3);
+* SimHash — 16-bit majority-vote fingerprint, collision buckets;
+* embedding near-dup — label-blocked exact cosine over unit vectors.
+
+Scale design (100 TB): the LSH pipeline is the canonical shuffle-bounded
+shape — per-row signature computation (codegen, no shuffle), explode to
+(band, band_sig) keys, one hash-partitioned self-join on the band key, then
+exact verification only on candidates. Bucket sizes are bounded by
+near-dup cluster size, not corpus size; skewed buckets (boilerplate docs)
+are exactly what AQE skew-join splitting handles. The brute-force variants
+are deliberately bounded (key-range sample / label block) and documented as
+verification paths, not scale paths.
+
+Everything is md5-based and deterministic => full DuckDB hash-match oracles,
+unlike pyspark.ml's MinHashLSH whose random coefficients would force a
+rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_docker_spark.functions.rounding import dround
+from mapreduce_docker_spark.functions.rounding import sql as rsql
+from mapreduce_docker_spark.functions import texthash as th
+from mapreduce_docker_spark.functions.tokenize import tokens
+from mapreduce_docker_spark.registry import register
+from mapreduce_docker_spark.sources.catalog import load_table
+
+_SQL_TOKS = "regexp_extract_all(lower(text), '[a-z]+')"
+_SQL_SHINGLES = th.sql_shingles(_SQL_TOKS)
+JACCARD_THRESHOLD = 0.5
+COSINE_DUP_THRESHOLD = 0.40
+
+
+def _sql_jaccard(a: str, b: str) -> str:
+    return (
+        f"CAST(len(list_intersect({a}, {b})) AS DOUBLE) / "
+        f"len(list_distinct(list_concat({a}, {b})))"
+    )
+
+
+def _jaccard(a, b):
+    return F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b))
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", th.shingles(F.col("toks")).alias("sh"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1: exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_groups",
+    f"""
+    WITH d AS (SELECT doc_id, md5(array_to_string({_SQL_TOKS}, ' ')) AS fp FROM documents)
+    SELECT fp, count(*) AS n_docs, min(doc_id) AS keeper
+    FROM d GROUP BY fp
+    """,
+    section="U1",
+    note="content-hash grouping on the normalized token stream; keeper = min doc_id",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.concat_ws(" ", tokens("text"))).alias("fp")
+    )
+    return d.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper")
+    )
+
+
+@register(
+    "dedup_exact_survivors",
+    f"""
+    WITH d AS (SELECT doc_id, md5(array_to_string({_SQL_TOKS}, ' ')) AS fp FROM documents)
+    SELECT min(doc_id) AS doc_id FROM d GROUP BY fp
+    """,
+    section="U1",
+    note="one surviving doc per distinct content hash",
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.concat_ws(" ", tokens("text"))).alias("fp")
+    )
+    return d.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# U2: MinHash + LSH banding + exact-Jaccard verification
+# ---------------------------------------------------------------------------
+
+_SQL_SIG_CTE = f"""
+    WITH d AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents),
+    sig AS (SELECT doc_id, sh, {th.sql_minhash_signature('sh')} AS sig FROM d),
+    bands AS (
+      SELECT s.doc_id, i.i AS band_idx, ({th.sql_band_signatures('s.sig')})[i.i] AS band_sig
+      FROM sig s, (SELECT unnest(generate_series(1, {th.BANDS})) AS i) i
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    )
+"""
+
+
+@register(
+    "dedup_minhash_signatures",
+    f"""
+    WITH d AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents)
+    SELECT doc_id,
+           array_to_string({th.sql_minhash_signature('sh')}, '|') AS sig
+    FROM d
+    """,
+    section="U2",
+    note="16-hash MinHash signature (md5-seeded, lexicographic-min) as a flat string",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled(spark, sf_dir)
+    return sh.select(
+        "doc_id",
+        F.concat_ws("|", th.minhash_signature(F.col("sh"))).alias("sig"),
+    )
+
+
+@register(
+    "dedup_minhash_pairs",
+    _SQL_SIG_CTE
+    + f""",
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             {rsql(_sql_jaccard('da.sh', 'db.sh'), 4)} AS jaccard
+      FROM cand c
+      JOIN d da ON da.doc_id = c.doc_a
+      JOIN d db ON db.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    section="U2,J5",
+    note=f"LSH candidate generation ({th.BANDS} bands x {th.ROWS_PER_BAND} rows) + exact shingle-Jaccard verification at {JACCARD_THRESHOLD}",
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled(spark, sf_dir)
+    sig = sh.select("doc_id", "sh", th.minhash_signature(F.col("sh")).alias("sig"))
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(th.band_signatures(F.col("sig"))).alias("band_idx", "band_sig"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    da = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    db = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            dround(_jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@register(
+    "dedup_minhash_survivors",
+    _SQL_SIG_CTE
+    + f""",
+    dropped AS (
+      SELECT DISTINCT c.doc_b
+      FROM cand c JOIN d da ON da.doc_id = c.doc_a JOIN d db ON db.doc_id = c.doc_b
+      WHERE {rsql(_sql_jaccard('da.sh', 'db.sh'), 4)} >= {JACCARD_THRESHOLD}
+    )
+    SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_b FROM dropped)
+    """,
+    section="U2",
+    note="greedy min-id survivor pick: a doc is dropped iff it is the larger id in a verified near-dup pair",
+)
+def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    return docs.join(
+        pairs.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _sql_simhash_cte() -> str:
+    sums = ",\n             ".join(
+        f"sum({th.sql_simhash_vote(j, 'w')}) AS s{j}" for j in range(th.SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(th.SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents),
+    votes AS (
+      SELECT doc_id,
+             {sums}
+      FROM tok GROUP BY doc_id
+    ),
+    sh AS (SELECT doc_id, CAST({bits} AS INTEGER) AS simhash FROM votes)
+"""
+
+
+@register(
+    "dedup_simhash",
+    _sql_simhash_cte() + "SELECT doc_id, simhash FROM sh",
+    section="U2",
+    note="16-bit SimHash: per-bit majority vote over md5 hex digits of each token occurrence",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens("text")).alias("w"))
+    )
+    votes = th.simhash_votes(F.col("w"))
+    agg = toks.groupBy("doc_id").agg(
+        *[F.sum(v).alias(f"s{j}") for j, v in enumerate(votes)]
+    )
+    sums = [F.col(f"s{j}") for j in range(th.SIMHASH_BITS)]
+    return agg.select(
+        "doc_id", th.simhash_from_vote_sums(sums).cast("int").alias("simhash")
+    )
+
+
+@register(
+    "dedup_simhash_buckets",
+    _sql_simhash_cte()
+    + """
+    SELECT simhash, count(*) AS n_docs, min(doc_id) AS keeper
+    FROM sh GROUP BY simhash
+    """,
+    section="U2",
+    note="SimHash collision buckets: identical-fingerprint groups (near-dups collide)",
+)
+def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        dedup_simhash(spark, sf_dir)
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded brute-force Jaccard (verification path) + embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_jaccard_sample",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents WHERE doc_id < 300
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {rsql(_sql_jaccard('a.sh', 'b.sh'), 4)} AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE {rsql(_sql_jaccard('a.sh', 'b.sh'), 4)} >= 0.3
+    """,
+    section="U2",
+    note="bounded exact-quadratic verification sample (doc_id < 300); the LSH path is the scale path",
+)
+def dedup_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _shingled(spark, sf_dir).filter(F.col("doc_id") < 300)
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            dround(_jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.3)
+    )
+
+
+_SQL_UNIT = """
+    WITH unit AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) /
+               sqrt(list_reduce(list_prepend(0.0,
+                 list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+                 (a, b) -> a + b))) AS u
+      FROM embeddings
+    )
+"""
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, "
+        f"list_transform(generate_series(1, len({a})), i -> ({a})[i] * ({b})[i])), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def _unit_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform(F.col("embedding"), lambda y: y.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    norm = F.sqrt(sq_sum)
+    return emb.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double") / norm).alias("u"),
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda x, y: x + y
+    )
+
+
+@register(
+    "dedup_embedding_pairs",
+    _SQL_UNIT
+    + f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+           {rsql(_sql_dot('a.u', 'b.u'), 4)} AS cos_sim
+    FROM unit a JOIN unit b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {rsql(_sql_dot('a.u', 'b.u'), 4)} >= {COSINE_DUP_THRESHOLD}
+    """,
+    section="U2,U3",
+    note=f"embedding-cosine near-dup, blocked by ground-truth cluster label (IVF-partition shape); threshold {COSINE_DUP_THRESHOLD}",
+)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    unit = _unit_vectors(spark, sf_dir)
+    a = unit.select(
+        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("u").alias("ua")
+    )
+    b = unit.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"), F.col("u").alias("ub")
+    )
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            "vec_a",
+            "vec_b",
+            "label",
+            dround(_dot(F.col("ua"), F.col("ub")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
+    )

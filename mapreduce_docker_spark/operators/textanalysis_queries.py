@@ -1,0 +1,344 @@
+"""Text-analysis operators over ``documents`` (SURVEY §2.10 U4 [EXT]).
+
+Generalizes the reference's only text operator — the word-count tokenizer
+(reference worker.py:6,13) — into the analysis surface an LLM-data pipeline
+needs: per-document token statistics, quality scoring, corpus-trained
+naive-Bayes language ID, n-gram mining, TF-IDF, and content fingerprints.
+
+Everything is expression-level DataFrame code (no UDFs): tokenization,
+hashing and folds run inside whole-stage codegen, aggregations are
+partial-agg-friendly, and the only shuffles are the groupBys/joins on
+``doc_id``/``word`` — at 100 TB these hash-partition cleanly (doc_id is
+unique, word frequencies are Zipf-ish but the pre-aggregation collapses
+each partition to its vocabulary first, exactly the reference's combiner
+move, reference worker.py:15).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduce_docker_spark.functions.rounding import dround
+from mapreduce_docker_spark.functions.rounding import sql as rsql
+from mapreduce_docker_spark.functions import texthash as th
+from mapreduce_docker_spark.functions.tokenize import tokens
+from mapreduce_docker_spark.registry import register
+from mapreduce_docker_spark.sources.catalog import load_table
+
+# DuckDB twin of functions.tokenize.tokens()
+_SQL_TOKS = "regexp_extract_all(lower(text), '[a-z]+')"
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "for", "on")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Token statistics + quality scoring
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    f"""
+    WITH d AS (SELECT doc_id, {_SQL_TOKS} AS toks, text FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER)                 AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INTEGER)  AS n_distinct,
+           CAST(length(text) AS INTEGER)              AS n_chars,
+           {rsql("list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> CAST(length(t) AS BIGINT))), (a, b) -> a + b) / CAST(len(toks) AS DOUBLE)", 4)} AS avg_token_len
+    FROM d
+    """,
+    section="U4",
+    note="per-document token counts — whitespace-free, reference tokenizer semantics",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text", tokens("text").alias("toks"))
+    tok_len_sum = F.aggregate(
+        F.transform(F.col("toks"), lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    return d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.length("text").alias("n_chars"),
+        dround(tok_len_sum / F.size("toks").cast("double"), 4).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_quality_score",
+    f"""
+    WITH d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           {rsql("len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)", 4)} AS ttr,
+           {rsql("len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','for','on'))) / CAST(len(toks) AS DOUBLE)", 4)} AS stopword_ratio,
+           {rsql(
+               "0.3 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))"
+               " + 0.4 * (1.0 - len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','for','on'))) / CAST(len(toks) AS DOUBLE))"
+               " + 0.3 * least(len(toks) / 100.0, 1.0)", 4)} AS quality_score
+    FROM d
+    """,
+    section="U4",
+    note="quality heuristic: type-token ratio, stopword density, length saturation",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("toks"))
+    n = F.size("toks").cast("double")
+    ttr = F.size(F.array_distinct("toks")) / n
+    stop_ratio = (
+        F.size(F.filter(F.col("toks"), lambda t: t.isin(*STOPWORDS))) / n
+    )
+    score = (
+        F.lit(0.3) * ttr
+        + F.lit(0.4) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.3) * F.least(F.size("toks") / F.lit(100.0), F.lit(1.0))
+    )
+    return d.select(
+        "doc_id",
+        dround(ttr, 4).alias("ttr"),
+        dround(stop_ratio, 4).alias("stopword_ratio"),
+        dround(score, 4).alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID: corpus-trained naive Bayes (deterministic, oracle-checkable)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_langid_nb",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({_SQL_TOKS}) AS word FROM documents
+    ),
+    lang_word AS (
+      SELECT lang, word, count(*) AS c FROM toks GROUP BY lang, word
+    ),
+    lang_tot AS (
+      SELECT lang, count(*) AS t,
+             count(DISTINCT doc_id) AS n_docs
+      FROM toks GROUP BY lang
+    ),
+    vocab AS (SELECT count(DISTINCT word) AS v FROM toks),
+    n_all AS (SELECT count(*) AS n FROM documents),
+    grid AS (
+      SELECT lt.lang, w.word,
+             ln((coalesce(lw.c, 0) + 1) / CAST(lt.t + vocab.v AS DOUBLE)) AS lp
+      FROM lang_tot lt
+      CROSS JOIN (SELECT DISTINCT word FROM toks) w
+      CROSS JOIN vocab
+      LEFT JOIN lang_word lw ON lw.lang = lt.lang AND lw.word = w.word
+    ),
+    doc_scores AS (
+      SELECT tk.doc_id, g.lang AS cand_lang,
+             {rsql("sum(g.lp) + any_value(ln(lt.n_docs / CAST(n_all.n AS DOUBLE)))", 6)} AS score
+      FROM toks tk
+      JOIN grid g ON g.word = tk.word
+      JOIN lang_tot lt ON lt.lang = g.lang
+      CROSS JOIN n_all
+      GROUP BY tk.doc_id, g.lang
+    ),
+    ranked AS (
+      SELECT doc_id, cand_lang, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang ASC) AS rn
+      FROM doc_scores
+    )
+    SELECT r.doc_id, r.cand_lang AS pred_lang, r.score AS score,
+           d.lang AS actual_lang, (r.cand_lang = d.lang) AS correct
+    FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+    WHERE r.rn = 1
+    """,
+    section="U4",
+    note="language-ID as corpus-trained multinomial naive Bayes with Laplace smoothing; argmax on a rounded score (tie-break lang asc) so cross-engine float drift cannot flip the prediction",
+)
+def text_langid_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("word")
+    )
+    lang_word = toks.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("c"))
+    lang_tot = toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("t"), F.count_distinct("doc_id").alias("n_docs")
+    )
+    vocab = toks.agg(F.count_distinct("word").alias("v"))
+    n_all = docs.agg(F.count(F.lit(1)).alias("n"))
+    words = toks.select("word").distinct()
+    grid = (
+        lang_tot.crossJoin(words)
+        .crossJoin(F.broadcast(vocab))
+        .join(lang_word, ["lang", "word"], "left")
+        .select(
+            "lang",
+            "word",
+            "n_docs",
+            "t",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                / (F.col("t") + F.col("v")).cast("double")
+            ).alias("lp"),
+        )
+    )
+    prior = F.log(F.col("n_docs") / F.col("n").cast("double"))
+    doc_scores = (
+        toks.select("doc_id", "word")
+        .join(F.broadcast(grid), "word")
+        .crossJoin(F.broadcast(n_all))
+        .groupBy("doc_id", F.col("lang").alias("cand_lang"))
+        .agg(dround(F.sum("lp") + F.any_value(prior), 6).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand_lang"))
+    return (
+        doc_scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            F.col("cand_lang").alias("pred_lang"),
+            "score",
+            F.col("lang").alias("actual_lang"),
+            (F.col("cand_lang") == F.col("lang")).alias("correct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-grams + TF-IDF
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_bigrams_top30",
+    f"""
+    WITH d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    grams AS (
+      SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM d WHERE len(toks) >= 2
+    )
+    SELECT bigram, count(*) AS cnt
+    FROM grams GROUP BY bigram
+    ORDER BY cnt DESC, bigram ASC LIMIT 30
+    """,
+    section="U4",
+    note="order-sensitive bigram mining (multiplicity kept, unlike shingle dedup)",
+)
+def text_bigrams_top30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(tokens("text").alias("toks"))
+    grams = d.filter(F.size("toks") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                ),
+            )
+        ).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(30)
+    )
+
+
+@register(
+    "text_tfidf_top_term",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             {rsql("tf.tf * ln(n.n / CAST(df.df AS DOUBLE))", 6)} AS tfidf
+      FROM tf JOIN df ON df.term = tf.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+    section="U4",
+    note="TF-IDF with per-doc argmax term; idf = ln(N/df)",
+)
+def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            dround(F.col("tf") * F.log(F.col("n") / F.col("df").cast("double")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fingerprints + lang/source rollup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    WITH d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           md5(array_to_string(toks, ' '))          AS content_md5,
+           {th.sql_rolling_fingerprint('toks')}     AS rolling_fp
+    FROM d
+    """,
+    section="U4,U1",
+    note="content fingerprints: md5 of normalized token stream + Rabin-Karp-style rolling hash (reference has no analog; dedup building block)",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("toks"))
+    return d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", "toks")).alias("content_md5"),
+        th.rolling_fingerprint(F.col("toks")).alias("rolling_fp"),
+    )
+
+
+@register(
+    "text_lang_source_rollup",
+    """
+    SELECT lang, source,
+           count(*)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           floor((avg(n_chars)) * 10000.0 + 0.5) / 10000.0 AS avg_chars
+    FROM documents
+    GROUP BY ROLLUP (lang, source)
+    """,
+    section="U4,A7",
+    note="per-lang / per-source corpus breakdown with rollup totals",
+)
+def text_lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.rollup("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        dround(F.avg("n_chars"), 4).alias("avg_chars"),
+    )

@@ -1,0 +1,109 @@
+"""Pin texthash primitives to pure-Python reference implementations.
+
+Guards against silent expression-level corruption (e.g. the Spark 4.1
+nested-lambda variable collision that broke the per-seed MinHash
+comprehension — see functions/texthash.py:minhash_signature).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import functions as F
+
+from mapreduce_docker_spark.functions import texthash as th
+from mapreduce_docker_spark.functions.tokenize import tokens
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the dog was really lazy but the fox was quick",
+    "alpha beta",  # shorter than the shingle width
+    "one two three one two three one two",  # repeated shingles
+]
+
+
+def _py_tokens(t: str) -> list[str]:
+    return re.findall(r"[a-z]+", t.lower())
+
+
+def _py_shingles(toks: list[str], k: int = 3) -> list[str]:
+    if len(toks) >= k:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    else:
+        grams = [" ".join(toks)]
+    return list(dict.fromkeys(grams))
+
+
+def _py_minhash(sh: list[str]) -> list[str]:
+    return [
+        min(hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in sh)
+        for i in range(th.NUM_HASHES)
+    ]
+
+
+def _py_bands(sig: list[str]) -> list[str]:
+    r = th.ROWS_PER_BAND
+    return [
+        hashlib.md5("|".join(sig[b * r : b * r + r]).encode()).hexdigest()
+        for b in range(th.BANDS)
+    ]
+
+
+def _py_simhash(toks: list[str]) -> int:
+    sums = [0] * th.SIMHASH_BITS
+    for t in toks:
+        h = hashlib.md5(t.encode()).hexdigest()
+        for j in range(th.SIMHASH_BITS):
+            sums[j] += 1 if h[j] in "89abcdef" else -1
+    return sum(1 << j for j, s in enumerate(sums) if s > 0)
+
+
+def _py_fingerprint(toks: list[str]) -> int:
+    acc = 0
+    for t in toks:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+        acc = (acc * th.FP_BASE + h) % th.FP_MOD
+    return acc
+
+
+def test_shingles_minhash_bands_fingerprint(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)], "id int, text string")
+    sh = th.shingles(tokens("text"))
+    sig = th.minhash_signature(sh)
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            sh.alias("sh"),
+            sig.alias("sig"),
+            th.band_signatures(sig).alias("bands"),
+            th.rolling_fingerprint(tokens("text")).alias("fp"),
+        ).collect()
+    }
+    for i, t in enumerate(TEXTS):
+        toks = _py_tokens(t)
+        exp_sh = _py_shingles(toks)
+        assert sorted(rows[i]["sh"]) == sorted(exp_sh), f"shingles differ for {t!r}"
+        exp_sig = _py_minhash(exp_sh)
+        assert list(rows[i]["sig"]) == exp_sig, f"minhash differs for {t!r}"
+        assert list(rows[i]["bands"]) == _py_bands(exp_sig), f"bands differ for {t!r}"
+        assert rows[i]["fp"] == _py_fingerprint(toks), f"fingerprint differs for {t!r}"
+
+
+def test_simhash(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)], "id int, text string")
+    toks_df = df.select("id", F.explode(tokens("text")).alias("w"))
+    votes = th.simhash_votes(F.col("w"))
+    agg = toks_df.groupBy("id").agg(*[F.sum(v).alias(f"s{j}") for j, v in enumerate(votes)])
+    out = {
+        r["id"]: r["simhash"]
+        for r in agg.select(
+            "id",
+            th.simhash_from_vote_sums(
+                [F.col(f"s{j}") for j in range(th.SIMHASH_BITS)]
+            ).alias("simhash"),
+        ).collect()
+    }
+    for i, t in enumerate(TEXTS):
+        assert out[i] == _py_simhash(_py_tokens(t)), f"simhash differs for {t!r}"
