@@ -1,0 +1,126 @@
+"""Multimodal column plumbing (SURVEY §2.10 U5 [EXT]).
+
+Treats image/audio/video payloads as opaque ``binary`` columns with typed
+metadata, the standard shape for multimodal training-data pipelines:
+
+    asset: struct<payload: binary, meta: struct<format: string,
+                                               n_bytes: long, sha256: string>>
+
+The fixtures carry no real media, so ``documents.text`` (UTF-8 encoded)
+stands in as the payload; everything Spark-side — schema, Arrow batch
+transfer, ``mapInPandas`` signatures, per-batch vectorization — is real and
+tested. The actual media decode is stubbed: ``decode_image_batch`` raises
+``NotImplementedError`` unless a decoder callback is injected, and
+``fake_decode_features`` provides the deterministic stand-in (dimensions
+derived from the payload's sha256) used by tests and the oracle-checked
+``multimodal_features`` query.
+
+Scale notes: payload bytes never hit Python row-at-a-time — ``mapInPandas``
+moves whole Arrow batches; metadata-only queries (counts, byte totals)
+prune the payload column entirely at the parquet scan, which is the reason
+to keep metadata in separate columns rather than inside the blob.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes int, sha256 string, fake_width int, fake_height int"
+)
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """documents -> multimodal asset table (payload + typed metadata)."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        "source",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("format"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.sha2(payload, 256).alias("sha256"),
+        ).alias("meta"),
+    )
+
+
+def fake_decode_features(payload: bytes) -> tuple[int, int, int, str]:
+    """Deterministic stand-in for a media decoder.
+
+    Derives (n_bytes, width, height) from the payload's sha256 so the
+    Spark-side plumbing can be verified end-to-end (and cross-checked in
+    SQL) without any media library in the container.
+    """
+    digest = hashlib.sha256(payload).hexdigest()
+    width = 1 + int(digest[:4], 16) % 1920
+    height = 1 + int(digest[4:8], 16) % 1080
+    return len(payload), width, height, digest
+
+
+def decode_image_batch(
+    payloads: pd.Series, decoder: Callable[[bytes], object] | None = None
+) -> pd.Series:
+    """Arrow-batched media decode hook.
+
+    A real deployment injects ``decoder`` (e.g. PIL/ffmpeg frame extraction);
+    this container has no media libs, so calling without one raises.
+    """
+    if decoder is None:
+        raise NotImplementedError(
+            "no media decoder available in this environment; "
+            "inject `decoder` or use fake_decode_features for plumbing tests"
+        )
+    return payloads.map(decoder)
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads (Arrow batches)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = pdf["payload"].map(fake_decode_features)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": feats.map(lambda f: f[0]),
+                    "sha256": feats.map(lambda f: f[3]),
+                    "fake_width": feats.map(lambda f: f[1]),
+                    "fake_height": feats.map(lambda f: f[2]),
+                }
+            )
+
+    return assets.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(assets: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Stub 'video frame sampling': split each payload into n byte slices.
+
+    Demonstrates the one-to-many multimodal shape (asset -> frames) with a
+    real exploded-rows plan; a deployment swaps the slicer for keyframe
+    extraction.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                step = max(1, len(payload) // n_frames)
+                for k in range(n_frames):
+                    chunk = bytes(payload[k * step : (k + 1) * step])
+                    if chunk:
+                        rows.append(
+                            (doc_id, k, len(chunk), hashlib.sha256(chunk).hexdigest())
+                        )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "n_bytes", "frame_sha256"]
+            )
+
+    return assets.mapInPandas(
+        batches, schema="doc_id bigint, frame_idx int, n_bytes int, frame_sha256 string"
+    )

@@ -1,0 +1,72 @@
+"""Registry entries for the multimodal-column surface (SURVEY §2.10 U5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_docker_spark.operators import multimodal as mm
+from mapreduce_docker_spark.registry import register
+from mapreduce_docker_spark.sources.catalog import load_table
+
+
+@register(
+    "multimodal_meta_by_source",
+    """
+    WITH assets AS (
+      -- sha256 in DuckDB 1.0 is VARCHAR-only; hashing the VARCHAR hashes its
+      -- UTF-8 bytes, identical to Spark's sha2(encode(text,'UTF-8'), 256)
+      SELECT doc_id, source, text, encode(text) AS payload FROM documents
+    )
+    SELECT source,
+           count(*)                              AS n_assets,
+           CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
+           count(DISTINCT sha256(text))          AS n_distinct_payloads
+    FROM assets GROUP BY source
+    """,
+    section="U5",
+    note="metadata-only asset rollup: payload column is pruned at scan when only meta is queried",
+)
+def multimodal_meta_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = mm.with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return assets.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
+        F.count_distinct(F.col("meta.sha256")).alias("n_distinct_payloads"),
+    )
+
+
+@register(
+    "multimodal_features",
+    """
+    WITH assets AS (
+      SELECT doc_id, encode(text) AS payload, sha256(text) AS digest FROM documents
+    )
+    SELECT doc_id,
+           CAST(octet_length(payload) AS INTEGER)                          AS n_bytes,
+           digest                                                          AS sha256,
+           CAST(1 + ('0x' || substr(digest, 1, 4))::BIGINT % 1920 AS INTEGER) AS fake_width,
+           CAST(1 + ('0x' || substr(digest, 5, 4))::BIGINT % 1080 AS INTEGER) AS fake_height
+    FROM assets
+    """,
+    section="U5,U6",
+    note="Arrow-batched mapInPandas feature extraction with a deterministic fake decoder (sha256-derived dims) — the oracle reproduces the same arithmetic in SQL, so even the Python-UDF path is hash-checked",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = mm.with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return mm.extract_features(assets)
+
+
+@register(
+    "multimodal_frame_stats",
+    None,  # mapInPandas frame slicing; deterministic but kept rows-only to exercise the weaker check path
+    section="U5,U6",
+    note="one-to-many frame sampling stub (asset -> byte-slice 'frames') via mapInPandas",
+)
+def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = mm.with_binary_payload(load_table(spark, sf_dir, "documents"))
+    frames = mm.frame_sample(assets, n_frames=4)
+    return frames.groupBy("frame_idx").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )

@@ -54,6 +54,14 @@ def get_spark(
     on a real cluster the caller passes the cluster master / lets
     spark-submit decide by passing ``master=""``.
     """
+    # make the engine package importable in executor Python workers no matter
+    # where the driver process was launched from (mapInPandas/pandas-UDF
+    # closures reference module functions); must happen before JVM launch
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{repo_root}{os.pathsep}{pp}" if pp else repo_root
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
         master = f"local[{cpus}]"

@@ -1,0 +1,143 @@
+"""Structured Streaming surface (SURVEY §2.9 ST1-ST2, ST6-ST7 [EXT]).
+
+The reference's streaming mechanics — bounded-memory chunked ingest,
+backpressure, incremental merge (reference coordinator.py:47-104) — are
+what Structured Streaming provides natively: the file source feeds
+micro-batches (``maxFilesPerTrigger`` is the backpressure analog of the
+reference's ``MAX_INFLIGHT``, coordinator.py:12), and stateful aggregation
+replaces the driver-side Counter fold. On top, these demos add the
+event-time semantics the reference lacks: watermarks, late-data handling,
+within-watermark dedup, and custom per-key state.
+
+All helpers use ``Trigger.availableNow`` + a memory sink so they terminate
+deterministically on the bounded fixtures; swapping the sink/trigger turns
+them into long-running jobs unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table (schema from a batch peek).
+
+    The fixture's TIMESTAMP(NANOS) column arrives as a raw ns LongType
+    (session.py sets nanosAsLong) and is converted to µs exactly as the
+    batch catalog does.
+    """
+    path = f"{sf_dir}/events.parquet"
+    # the file stream source requires a DIRECTORY; stage a symlink dir so the
+    # read-only fixture file can be streamed without copying data
+    stage = os.path.join(
+        tempfile.gettempdir(), f"events_stream_{abs(hash(os.path.abspath(path)))}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(path), link)
+    schema = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(schema).parquet(stage)
+    if dict((f.name, f.dataType.simpleString()) for f in schema).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    return raw
+
+
+def run_tumbling_count_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "tumbling_counts"
+) -> DataFrame:
+    """readStream -> watermark(30m) -> 10m tumbling counts -> memory sink."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        # complete mode: availableNow may finish in one micro-batch, where
+        # append mode would emit nothing (watermark only advances after it)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+def run_dedup_within_watermark_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "dedup_stream"
+) -> DataFrame:
+    """dropDuplicatesWithinWatermark on (user_id, event_type) over a 1h watermark.
+
+    The streaming analog of exact dedup (U1): state for a key is dropped
+    once the watermark passes, bounding memory on an unbounded stream —
+    the design answer to 'dedup 100 TB of events without keeping every key
+    forever'.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+_STATE_SCHEMA = "n bigint"
+_OUT_SCHEMA = "user_id bigint, n_events bigint"
+
+
+def _count_per_user(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState update function: running event count per user."""
+    (n,) = state.get if state.exists else (0,)
+    for pdf in pdfs:
+        n += len(pdf)
+    state.update((n,))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+
+def run_stateful_user_counts(
+    spark: SparkSession, sf_dir: str, query_name: str = "stateful_counts"
+) -> DataFrame:
+    """Custom stateful operator (ST7): per-user running counts with explicit state."""
+    ev = read_events_stream(spark, sf_dir)
+    counted = ev.groupBy("user_id").applyInPandasWithState(
+        _count_per_user,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        counted.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -1,0 +1,152 @@
+"""Event-time windows over ``events`` (SURVEY §2.9 ST5-ST6 [EXT]).
+
+The reference streams *input* through bounded memory but has no event-time
+semantics (SURVEY §2.9) — these operators add them. Batch-mode first:
+tumbling / sliding / session windows are ordinary aggregations over
+``F.window`` / ``F.session_window``, which makes them SQL-oracle-checkable
+(the oracle reproduces Spark's epoch-aligned bucketing with integer µs
+arithmetic). The *same* plans run unchanged as Structured Streaming jobs —
+see streaming/stream_demo.py for the readStream + watermark variants, whose
+late-data semantics have no DuckDB analog and are checked rows-only.
+
+Session tz is UTC (session.py), so Spark's epoch-aligned window starts agree
+with the oracle's integer arithmetic exactly.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_docker_spark.functions.rounding import dround
+from mapreduce_docker_spark.functions.rounding import sql as rsql
+from mapreduce_docker_spark.registry import register
+from mapreduce_docker_spark.sources.catalog import load_table
+
+_10M_US = 10 * 60 * 1_000_000
+_5M_US = 5 * 60 * 1_000_000
+
+
+@register(
+    "events_tumbling_10m",
+    f"""
+    SELECT make_timestamp((epoch_us(ts) // {_10M_US}) * {_10M_US})              AS window_start,
+           make_timestamp((epoch_us(ts) // {_10M_US}) * {_10M_US} + {_10M_US}) AS window_end,
+           event_type,
+           count(*) AS n_events,
+           {rsql("sum(value)", 2)} AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    section="ST5",
+    note="tumbling 10-minute event-time windows; oracle reproduces Spark's epoch-aligned bucketing in integer µs",
+)
+def events_tumbling_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_10m_5m",
+    f"""
+    WITH slid AS (
+      SELECT unnest([
+               (epoch_us(ts) // {_5M_US}) * {_5M_US} - {_5M_US},
+               (epoch_us(ts) // {_5M_US}) * {_5M_US}
+             ]) AS start_us,
+             value
+      FROM events
+    )
+    SELECT make_timestamp(start_us)             AS window_start,
+           make_timestamp(start_us + {_10M_US}) AS window_end,
+           count(*)                             AS n_events,
+           {rsql("sum(value)", 2)}              AS total_value
+    FROM slid GROUP BY 1, 2
+    """,
+    section="ST5",
+    note="sliding windows (10 min length, 5 min slide): every event lands in exactly 2 windows",
+)
+def events_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_session_5m",
+    f"""
+    WITH seq AS (
+      SELECT user_id, ts, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts, us,
+             CASE WHEN prev_us IS NULL OR us - prev_us >= {_5M_US} THEN 1 ELSE 0 END AS is_new
+      FROM seq
+    ),
+    sess AS (
+      SELECT user_id, ts, us,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, us
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           make_timestamp(min(us))            AS session_start,
+           make_timestamp(max(us) + {_5M_US}) AS session_end,
+           count(*)                           AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+    section="ST5,ST7",
+    note="session windows (5-min inactivity gap) per user; oracle is the classic lag+cumsum sessionization — new session iff gap >= 5 min, matching Spark's [ts, ts+gap) overlap-merge rule",
+)
+def events_session_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "streaming_tumbling_counts",
+    None,  # true Structured Streaming run; watermark semantics have no DuckDB analog
+    section="ST1,ST6",
+    note="readStream (file source) -> watermark 30m -> tumbling 10m counts -> memory sink, availableNow trigger; batch/stream parity is asserted in tests/test_streaming.py",
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_docker_spark.streaming.stream_demo import run_tumbling_count_stream
+
+    return run_tumbling_count_stream(spark, sf_dir, query_name=f"t10m_{uuid.uuid4().hex[:8]}")

@@ -1,0 +1,59 @@
+"""Structured Streaming: batch/stream parity + stateful + dedup semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_docker_spark.sources.catalog import load_table
+from mapreduce_docker_spark.streaming import stream_demo as sd
+from tests.conftest import SF_SMOKE
+
+
+def test_stream_tumbling_matches_batch(spark):
+    out = sd.run_tumbling_count_stream(spark, SF_SMOKE, query_name="t_parity")
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"] for r in out.collect()
+    }
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n")
+    )
+    want = {(r["ws"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert got == want
+
+
+def test_stateful_user_counts_match_batch(spark):
+    out = sd.run_stateful_user_counts(spark, SF_SMOKE, query_name="t_stateful")
+    # update-mode memory sink may hold one row per user per micro-batch;
+    # the final (max) value per user is the running total
+    got = {}
+    for r in out.collect():
+        got[r["user_id"]] = max(got.get(r["user_id"], 0), r["n_events"])
+    want = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_dedup_within_watermark(spark):
+    out = sd.run_dedup_within_watermark_stream(spark, SF_SMOKE, query_name="t_dedup")
+    rows = out.collect()
+    keys = [(r["user_id"], r["event_type"]) for r in rows]
+    # one surviving event per (user, type) within the watermark horizon; the
+    # fixture spans 30 days > 1h watermark, so duplicates CAN reappear across
+    # horizon boundaries — but never within one micro-batch's state lifetime.
+    n_events = load_table(spark, SF_SMOKE, "events").count()
+    assert 0 < len(rows) <= n_events
+    distinct_keys = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert len(set(keys)) == distinct_keys
