@@ -7,8 +7,9 @@ lowercase-hex output on both engines); no engine-specific hash (Spark
 ``hash``/xxhash, DuckDB ``hash``) is ever used in an oracle-checked path.
 
 Scale notes: every primitive here is a per-row expression (no shuffle); the
-MinHash signature is 16 md5 evaluations per shingle — at 100 TB this is
-embarrassingly parallel map work inside whole-stage codegen. The classic
+MinHash path costs ONE md5 per shingle (31-bit hash) plus NUM_HASHES integer
+affine maps, computed via explode + codegen'd min-aggregate — at 100 TB this
+is embarrassingly parallel map work with map-side partial agg. The classic
 alternative (pyspark.ml's MinHashLSH) needs a fitted model + vector
 assembler; this formulation keeps the pipeline pure-SQL-expressible, which
 is what makes the DuckDB hash-match oracle possible at all.
@@ -59,38 +60,80 @@ def sql_shingles(tokens_expr: str, k: int = SHINGLE_K) -> str:
 
 
 # ---------------------------------------------------------------------------
-# MinHash signature: sig[i] = min over shingles of md5('<i>:' || shingle)
+# MinHash: one md5 per shingle -> 31-bit integer -> NUM_HASHES affine
+# permutations h_i(x) = (a_i*x + b_i) mod P, signature[i] = min over shingles.
 # ---------------------------------------------------------------------------
-# Lexicographic min over md5 hex strings is a valid uniform min-hash (hex of
-# a uniform 128-bit value preserves order), and both engines agree on ASCII
-# string ordering — no hex->int conversion needed.
+# P is the Mersenne prime 2^31-1, so every affine map with a_i != 0 is a
+# bijection on [0, P) and min-over-affine-hash is a valid uniform min-hash.
+# The hot path computes this with EXPLODE + a codegen'd groupBy(min(...)) —
+# interpreted higher-order-function lambdas (transform/array_min) are ~10x
+# slower per element and must stay out of corpus-scale plans; the array
+# formulation below exists for small inputs and as the equivalence witness
+# the tests check against the explode path.
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+MINHASH_A = tuple((1_103_515_245 * (i + 1) + 12_345) % MINHASH_P or 1 for i in range(NUM_HASHES))
+MINHASH_B = tuple((69_069 * (i + 1) + 1) % MINHASH_P for i in range(NUM_HASHES))
+
+
+def shingle_hash(shingle_col: Column) -> Column:
+    """31-bit integer hash of one shingle: first 8 md5 hex digits mod P."""
+    return (
+        F.conv(F.substring(F.md5(shingle_col), 1, 8), 16, 10).cast("long")
+        % F.lit(MINHASH_P)
+    )
+
+
+def sql_shingle_hash(shingle_expr: str) -> str:
+    return f"(('0x' || substr(md5({shingle_expr}), 1, 8))::BIGINT % {MINHASH_P})"
+
+
+def minhash_min_exprs(h_col: Column) -> list[Column]:
+    """Aggregate expressions ``min((a_i*h + b_i) % P)`` — the hot path.
+
+    Use over an exploded (doc_id, h) relation: every expression stays inside
+    whole-stage codegen and the partial aggregation reduces each doc to
+    NUM_HASHES longs before the shuffle — the map-side-combiner shape the
+    reference hand-builds (worker.py:15).
+    """
+    return [
+        F.min((F.lit(a) * h_col + F.lit(b)) % F.lit(MINHASH_P))
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    ]
+
+
+def sql_minhash_min_exprs(h_expr: str) -> list[str]:
+    return [
+        f"min(({a} * {h_expr} + {b}) % {MINHASH_P})"
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    ]
 
 
 def minhash_signature(shingles_col: Column, num_hashes: int = NUM_HASHES) -> Column:
-    """array<string>(num_hashes) MinHash signature of a shingle array.
+    """array<long>(num_hashes) MinHash signature of a shingle array.
 
-    Implemented as ONE nested higher-order function (outer transform over the
-    seed array, inner transform over the shingles). Building 16 separate
-    ``array_min(transform(...))`` branches inside one ``F.array`` silently
-    corrupts results in Spark 4.1 — the per-branch lambda variables collide
-    during analysis and some branches evaluate with the wrong seed binding —
-    so do NOT refactor this back to a per-seed comprehension.
+    Higher-order-function formulation for small inputs / tests; corpus-scale
+    plans use :func:`minhash_min_exprs` over an explode instead. Implemented
+    as ONE nested transform (outer over seeds, inner over shingles): building
+    16 separate ``array_min(transform(...))`` branches inside one ``F.array``
+    silently corrupts results in Spark 4.1 — per-branch lambda variables
+    collide during analysis — so do NOT refactor to a per-seed comprehension.
     """
-    seeds = F.array(*[F.lit(f"{i}:") for i in range(num_hashes)])
+    ab = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in zip(MINHASH_A, MINHASH_B)
+        ][:num_hashes]
+    )
     return F.transform(
-        seeds,
-        lambda seed: F.array_min(
-            F.transform(shingles_col, lambda s: F.md5(F.concat(seed, s)))
+        ab,
+        lambda s: F.array_min(
+            F.transform(
+                shingles_col,
+                lambda sh: (s["a"] * shingle_hash(sh) + s["b"]) % F.lit(MINHASH_P),
+            )
         ),
     )
-
-
-def sql_minhash_signature(shingles_expr: str, num_hashes: int = NUM_HASHES) -> str:
-    mins = ", ".join(
-        f"list_min(list_transform({shingles_expr}, s -> md5('{i}:' || s)))"
-        for i in range(num_hashes)
-    )
-    return f"[{mins}]"
 
 
 def band_signatures(sig_col: Column, bands: int = BANDS) -> Column:
@@ -98,19 +141,33 @@ def band_signatures(sig_col: Column, bands: int = BANDS) -> Column:
     r = NUM_HASHES // bands
     return F.array(
         *[
-            F.md5(F.concat_ws("|", F.slice(sig_col, b * r + 1, r)))
+            F.md5(
+                F.concat_ws(
+                    "|", F.transform(F.slice(sig_col, b * r + 1, r), lambda x: x.cast("string"))
+                )
+            )
             for b in range(bands)
         ]
     )
 
 
-def sql_band_signatures(sig_expr: str, bands: int = BANDS) -> str:
-    r = NUM_HASHES // bands
-    parts = ", ".join(
-        f"md5(array_to_string(({sig_expr})[{b * r + 1}:{b * r + r}], '|'))"
+def band_signature_exprs(sig_cols: list[Column], bands: int = BANDS) -> list[Column]:
+    """Band signatures straight from NUM_HASHES scalar columns (codegen path)."""
+    r = len(sig_cols) // bands
+    return [
+        F.md5(F.concat_ws("|", *[c.cast("string") for c in sig_cols[b * r : b * r + r]]))
         for b in range(bands)
-    )
-    return f"[{parts}]"
+    ]
+
+
+def sql_band_signature_exprs(sig_exprs: list[str], bands: int = BANDS) -> list[str]:
+    r = len(sig_exprs) // bands
+    return [
+        "md5(concat_ws('|', "
+        + ", ".join(f"({e})::VARCHAR" for e in sig_exprs[b * r : b * r + r])
+        + "))"
+        for b in range(bands)
+    ]
 
 
 # ---------------------------------------------------------------------------

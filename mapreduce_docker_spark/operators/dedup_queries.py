@@ -35,7 +35,7 @@ from mapreduce_docker_spark.functions.rounding import sql as rsql
 from mapreduce_docker_spark.functions import texthash as th
 from mapreduce_docker_spark.functions.tokenize import tokens
 from mapreduce_docker_spark.registry import register
-from mapreduce_docker_spark.sources.catalog import load_table
+from mapreduce_docker_spark.sources.catalog import load_table, scatter
 
 _SQL_TOKS = "regexp_extract_all(lower(text), '[a-z]+')"
 _SQL_SHINGLES = th.sql_shingles(_SQL_TOKS)
@@ -56,7 +56,7 @@ def _jaccard(a, b):
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        load_table(spark, sf_dir, "documents")
+        scatter(load_table(spark, sf_dir, "documents"))
         .select("doc_id", tokens("text").alias("toks"))
         .select("doc_id", th.shingles(F.col("toks")).alias("sh"))
     )
@@ -105,12 +105,33 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # U2: MinHash + LSH banding + exact-Jaccard verification
 # ---------------------------------------------------------------------------
+# Hot-path shape (100 TB): explode shingles -> ONE md5 per shingle -> 16
+# affine-permutation mins via codegen'd groupBy (map-side partial agg), band
+# signatures as plain column exprs, then ONE shuffle on (band_idx, band_sig)
+# grouping doc_ids into buckets and emitting in-bucket pairs — no self-join,
+# so the signature subtree is computed once. Interpreted higher-order
+# functions are kept out of the per-shingle path (~10x slower).
+
+_SIG_COLS = [f"s{i}" for i in range(th.NUM_HASHES)]
+
+_SQL_SIG_MINS = ",\n             ".join(
+    f"{e} AS s{i}" for i, e in enumerate(th.sql_minhash_min_exprs("h"))
+)
+_SQL_BAND_LIST = "[" + ", ".join(th.sql_band_signature_exprs(_SIG_COLS)) + "]"
 
 _SQL_SIG_CTE = f"""
     WITH d AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents),
-    sig AS (SELECT doc_id, sh, {th.sql_minhash_signature('sh')} AS sig FROM d),
+    ex AS (
+      SELECT doc_id, {th.sql_shingle_hash('s')} AS h
+      FROM (SELECT doc_id, unnest(sh) AS s FROM d) t
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_SQL_SIG_MINS}
+      FROM ex GROUP BY doc_id
+    ),
     bands AS (
-      SELECT s.doc_id, i.i AS band_idx, ({th.sql_band_signatures('s.sig')})[i.i] AS band_sig
+      SELECT s.doc_id, i.i AS band_idx, ({_SQL_BAND_LIST})[i.i] AS band_sig
       FROM sig s, (SELECT unnest(generate_series(1, {th.BANDS})) AS i) i
     ),
     cand AS (
@@ -121,22 +142,55 @@ _SQL_SIG_CTE = f"""
 """
 
 
+def _sig_cols_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s0..s15): MinHash signature via explode + codegen min-agg."""
+    ex = (
+        scatter(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", F.explode(th.shingles(tokens("text"))).alias("s"))
+        .select("doc_id", th.shingle_hash(F.col("s")).alias("h"))
+    )
+    return ex.groupBy("doc_id").agg(
+        *[e.alias(c) for c, e in zip(_SIG_COLS, th.minhash_min_exprs(F.col("h")))]
+    )
+
+
+def _candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b) LSH candidates: band-bucket grouping, no self-join."""
+    sig = _sig_cols_df(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*th.band_signature_exprs([F.col(c) for c in _SIG_COLS]))
+        ).alias("band_idx", "band_sig"),
+    )
+    buckets = (
+        bands.groupBy("band_idx", "band_sig")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    return (
+        buckets.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+
+
 @register(
     "dedup_minhash_signatures",
-    f"""
-    WITH d AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents)
-    SELECT doc_id,
-           array_to_string({th.sql_minhash_signature('sh')}, '|') AS sig
-    FROM d
+    _SQL_SIG_CTE
+    + f"""
+    SELECT doc_id, concat_ws('|', {', '.join(f'({c})::VARCHAR' for c in _SIG_COLS)}) AS sig
+    FROM sig
     """,
     section="U2",
-    note="16-hash MinHash signature (md5-seeded, lexicographic-min) as a flat string",
+    note=f"{th.NUM_HASHES}-hash MinHash signature (md5->31-bit, affine permutations mod 2^31-1) as a flat string",
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingled(spark, sf_dir)
-    return sh.select(
+    sig = _sig_cols_df(spark, sf_dir)
+    return sig.select(
         "doc_id",
-        F.concat_ws("|", th.minhash_signature(F.col("sh"))).alias("sig"),
+        F.concat_ws("|", *[F.col(c).cast("string") for c in _SIG_COLS]).alias("sig"),
     )
 
 
@@ -157,24 +211,8 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     note=f"LSH candidate generation ({th.BANDS} bands x {th.ROWS_PER_BAND} rows) + exact shingle-Jaccard verification at {JACCARD_THRESHOLD}",
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = _candidate_pairs(spark, sf_dir)
     sh = _shingled(spark, sf_dir)
-    sig = sh.select("doc_id", "sh", th.minhash_signature(F.col("sh")).alias("sig"))
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(th.band_signatures(F.col("sig"))).alias("band_idx", "band_sig"),
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
     da = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     db = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
@@ -328,7 +366,7 @@ def _sql_dot(a: str, b: str) -> str:
 
 
 def _unit_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = scatter(load_table(spark, sf_dir, "embeddings"))
     sq_sum = F.aggregate(
         F.transform(F.col("embedding"), lambda y: y.cast("double") * y.cast("double")),
         F.lit(0.0),

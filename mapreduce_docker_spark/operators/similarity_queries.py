@@ -35,7 +35,7 @@ from mapreduce_docker_spark.operators.dedup_queries import (
     _unit_vectors,
 )
 from mapreduce_docker_spark.registry import register
-from mapreduce_docker_spark.sources.catalog import load_table
+from mapreduce_docker_spark.sources.catalog import load_table, scatter
 
 N_QUERIES_TOPK = 10
 TOPK = 5
@@ -125,7 +125,7 @@ _SQL_BUCKET = (
     note=f"ANN via sign-random-projection bucketing ({SRP_BITS} axis hyperplanes -> {2**SRP_BITS} buckets) + exact rerank within bucket; deterministic so fully oracle-checked",
 )
 def sim_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = scatter(load_table(spark, sf_dir, "embeddings"))
     bucket = F.concat_ws(
         "",
         F.transform(

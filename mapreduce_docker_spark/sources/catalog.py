@@ -56,6 +56,43 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def scatter(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to full parallelism IF the scan under-splits.
+
+    Small fixture files are a single parquet row group, so FileSourceScan
+    yields ONE input split and every downstream map-side expression (md5,
+    tokenize, cosine) runs on one core. CPU-heavy per-row operators call this
+    right after the scan. At production scale the condition is false — a
+    100 TB input arrives as ~1e5 splits >= cores — so no shuffle is added
+    where the scan already parallelizes; this mirrors the reference's fixed
+    50 MB chunking (coordinator.py:11,47-60), which guaranteed >= num_workers
+    chunks on any real corpus.
+    """
+    if os.environ.get("SPARK_GRAFT_NO_SCATTER"):
+        return df
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
+    max_bytes = (
+        int(raw[:-1]) * units[raw[-1]] if raw[-1] in units else int(raw)
+    )
+    # estimate split count from file sizes — avoids a plan->RDD conversion;
+    # single-row-group files can't split, so over-estimating splits (and
+    # skipping the repartition) is the safe direction only at real scale,
+    # where per-file size >> maxPartitionBytes anyway
+    est_splits = 0
+    for path in df.inputFiles():
+        local = path.removeprefix("file:")
+        try:
+            est_splits += max(1, os.path.getsize(local) // max_bytes)
+        except OSError:
+            return df  # non-local source: trust the scan's own splitting
+        if est_splits >= target:
+            return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every fixture table and register it as a temp view."""
     out = {}

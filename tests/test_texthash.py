@@ -35,17 +35,22 @@ def _py_shingles(toks: list[str], k: int = 3) -> list[str]:
     return list(dict.fromkeys(grams))
 
 
-def _py_minhash(sh: list[str]) -> list[str]:
+def _py_shingle_hash(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % th.MINHASH_P
+
+
+def _py_minhash(sh: list[str]) -> list[int]:
+    hs = [_py_shingle_hash(s) for s in sh]
     return [
-        min(hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in sh)
-        for i in range(th.NUM_HASHES)
+        min((a * h + b) % th.MINHASH_P for h in hs)
+        for a, b in zip(th.MINHASH_A, th.MINHASH_B)
     ]
 
 
-def _py_bands(sig: list[str]) -> list[str]:
+def _py_bands(sig: list[int]) -> list[str]:
     r = th.ROWS_PER_BAND
     return [
-        hashlib.md5("|".join(sig[b * r : b * r + r]).encode()).hexdigest()
+        hashlib.md5("|".join(str(x) for x in sig[b * r : b * r + r]).encode()).hexdigest()
         for b in range(th.BANDS)
     ]
 
@@ -89,6 +94,24 @@ def test_shingles_minhash_bands_fingerprint(spark):
         assert list(rows[i]["sig"]) == exp_sig, f"minhash differs for {t!r}"
         assert list(rows[i]["bands"]) == _py_bands(exp_sig), f"bands differ for {t!r}"
         assert rows[i]["fp"] == _py_fingerprint(toks), f"fingerprint differs for {t!r}"
+
+
+def test_minhash_explode_path_matches_hof(spark):
+    """The corpus-scale explode+min-agg formulation must equal the array one."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "id int, text string"
+    )
+    ex = df.select(
+        "id", F.explode(th.shingles(tokens("text"))).alias("s")
+    ).select("id", th.shingle_hash(F.col("s")).alias("h"))
+    agg = ex.groupBy("id").agg(
+        *[e.alias(f"s{i}") for i, e in enumerate(th.minhash_min_exprs(F.col("h")))]
+    )
+    got = {
+        r["id"]: [r[f"s{i}"] for i in range(th.NUM_HASHES)] for r in agg.collect()
+    }
+    for i, t in enumerate(TEXTS):
+        assert got[i] == _py_minhash(_py_shingles(_py_tokens(t))), f"explode path differs for {t!r}"
 
 
 def test_simhash(spark):
