@@ -1,13 +1,23 @@
-"""Tokenizer with exact reference semantics.
+"""Tokenizers: the engine-standard word splitter + bit-exact reference parity.
 
 The reference tokenizes by lowercasing the chunk then taking
-``re.findall(r"\\b[a-z]+\\b", text)`` (reference worker.py:6,13). Because the
-input is lowercased first, the ``\\b`` boundaries add nothing beyond what the
-character class already enforces: matches of ``[a-z]+`` are maximal runs of
-ASCII letters, so digits, punctuation, whitespace and non-ASCII letters all
-act as separators and never appear inside a token, and no empty token is ever
-produced. ``regexp_extract_all(lower(x), '[a-z]+', 0)`` is therefore an exact
-JVM-side equivalent — no Python UDF in the hot path.
+``re.findall(r"\\b[a-z]+\\b", text)`` (reference worker.py:6,13). On text
+where letter runs border only punctuation/whitespace, that equals "maximal
+runs of ``[a-z]``". The boundary assertions DO matter in two corners
+(SURVEY.md §7 hard part 1): Python's ``\\b`` is Unicode-aware, so a run of
+``[a-z]`` adjacent to a digit, underscore, or non-ASCII word character has
+no boundary there and the reference emits NO token ("abc42" -> nothing,
+"café" -> nothing), whereas a maximal-run extraction emits "abc"/"caf".
+
+Two tokenizers, one per need:
+
+* :func:`tokens` — maximal ``[a-z]+`` runs. The engine standard: identical
+  semantics in Spark (Java regex) and DuckDB (RE2), hence every DuckDB
+  value-hash oracle uses it. RE2 has no lookaround and no Unicode word
+  boundary, so the strict semantics below cannot be oracle-checked.
+* :func:`tokens_strict` — bit-exact Python ``re`` parity via Java's
+  ``(?U)`` flag (UNICODE_CHARACTER_CLASS makes ``\\b`` match Python's).
+  Registered as a rows-only query; pinned against ``re.findall`` in tests.
 
 Correctness notes (SURVEY.md §2 P2/P3):
 * ``split``-based tokenization emits empty strings at boundaries and is NOT
@@ -21,14 +31,22 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# maximal ASCII-letter runs over lowercased text == reference \b[a-z]+\b
+# maximal ASCII-letter runs over lowercased text (engine standard)
 WORD_PATTERN = "[a-z]+"
+# bit-exact reference parity: Unicode-aware word boundaries like Python re
+STRICT_PATTERN = r"(?U)\b[a-z]+\b"
 
 
 def tokens(col: Column | str) -> Column:
-    """array<string> of reference-semantics word tokens for a text column."""
+    """array<string> of engine-standard word tokens for a text column."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_extract_all(F.lower(c), F.lit(WORD_PATTERN), 0)
+
+
+def tokens_strict(col: Column | str) -> Column:
+    """array<string> matching reference ``re.findall(r'\\b[a-z]+\\b', ...)`` exactly."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(STRICT_PATTERN), 0)
 
 
 def word_rows(col: Column | str) -> Column:

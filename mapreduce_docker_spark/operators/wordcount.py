@@ -32,13 +32,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mapreduce_docker_spark.functions.tokenize import tokens
+from mapreduce_docker_spark.functions.tokenize import tokens, tokens_strict
 
 
-def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(word, cnt) for every reference-semantics token in ``text_col``."""
+def word_counts(df: DataFrame, text_col: str = "text", strict: bool = False) -> DataFrame:
+    """(word, cnt) per token; ``strict`` switches to bit-exact Python-re parity."""
+    tok = tokens_strict(text_col) if strict else tokens(text_col)
     return (
-        df.select(F.explode(tokens(text_col)).alias("word"))
+        df.select(F.explode(tok).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

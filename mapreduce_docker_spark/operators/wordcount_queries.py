@@ -50,6 +50,18 @@ def q_wordcount_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wordcount_strict_top20",
+    None,  # Python-re \b semantics need lookaround/Unicode-\b; RE2 (DuckDB) has neither
+    section="P2-P3,T1",
+    note="bit-exact reference tokenizer parity ((?U)\\b[a-z]+\\b); pinned against re.findall in tests/test_wordcount.py",
+)
+def q_wordcount_strict_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return wc.top_k(
+        wc.word_counts(load_table(spark, sf_dir, "documents"), "text", strict=True), 20
+    )
+
+
+@register(
     "wordcount_unique",
     _TOKENS_CTE + "SELECT count(DISTINCT word) AS unique_words FROM toks",
     section="A4",

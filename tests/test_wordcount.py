@@ -106,3 +106,37 @@ def test_entry_smoke(spark):
     assert len(rows) == 20
     assert rows == sorted(rows, key=lambda r: (-r["cnt"], r["word"]))
     assert df.columns == ["word", "cnt"]
+
+
+def test_strict_tokenizer_matches_python_re(spark):
+    """tokens_strict == re.findall(r'\b[a-z]+\b', text.lower()) bit-exactly."""
+    import re
+
+    from mapreduce_docker_spark.functions.tokenize import tokens_strict
+
+    cases = [
+        "hello world",
+        "abc42 42abc a42b",          # digit-adjacent runs -> dropped by \b
+        "Édouard café naïve",        # non-ASCII word chars -> dropped by \b
+        "foo_bar _baz qux_",         # underscore is \w -> dropped by \b
+        "dash-separated under scores!",
+        "",
+        "123 !!! \t",
+        "mixedCASE TeXt with 9lives and lives9",
+    ]
+    df = spark.createDataFrame([(s,) for s in cases], "text string")
+    got = [list(r["t"]) for r in df.select(tokens_strict("text").alias("t")).collect()]
+    want = [re.findall(r"\b[a-z]+\b", s.lower()) for s in cases]
+    assert got == want
+
+
+def test_strict_vs_standard_divergence(spark):
+    """Documents exactly where the two tokenizers differ (SURVEY §7 hard part 1)."""
+    df = spark.createDataFrame([("café x42y plain",)], "text string")
+    std = _counts(spark, ["café x42y plain"])
+    strict = {
+        r["word"]: r["cnt"]
+        for r in wc.word_counts(df, "text", strict=True).collect()
+    }
+    assert std == {"caf": 1, "x": 1, "y": 1, "plain": 1}
+    assert strict == {"plain": 1}
