@@ -1,0 +1,145 @@
+"""Python UDF surface parity (SURVEY §2.10 U6 [EXT]).
+
+The reference's ``exposed_map`` (worker.py:9-17) is its whole UDF mechanism:
+an arbitrary Python callable applied per input slice. Spark's modern
+equivalents, one query each, all Arrow-batched (never row-at-a-time Python
+UDFs — SURVEY §4 perf mandate):
+
+* scalar ``@pandas_udf`` — vectorized per-batch numpy arithmetic;
+* grouped-map ``applyInPandas`` — the UDAF/combiner shape, a whole group in
+  one pandas frame (the closest analog of ``exposed_map``'s
+  slice-in/aggregate-out contract);
+* ``@udtf`` (Python UDTF, Spark >= 3.5) — one row in, many rows out, the
+  generalized flatMap the reference implements with ``re.findall``.
+
+Every function here is deterministic float64/int arithmetic, so each query
+still carries a full DuckDB value-hash oracle — UDFs don't get a weaker
+check just for being Python.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+from mapreduce_docker_spark.registry import register
+from mapreduce_docker_spark.sources.catalog import load_table
+
+_SQL_TOKS = "regexp_extract_all(lower(text), '[a-z]+')"
+
+
+# ---------------------------------------------------------------------------
+# scalar pandas UDF
+# ---------------------------------------------------------------------------
+
+
+def _saturation_score():
+    # created lazily: decorating with a DDL-string return type at module
+    # import would require an active SparkSession
+    @pandas_udf("double")
+    def score(text: pd.Series) -> pd.Series:
+        """tanh(len/500): smooth 0..1 'document length saturation'."""
+        import numpy as np
+
+        return np.tanh(text.str.len().astype("float64") / 500.0)
+
+    return score
+
+
+@register(
+    "udf_pandas_saturation",
+    """
+    SELECT doc_id,
+           round((exp(2 * (length(text) / 500.0)) - 1)
+                 / (exp(2 * (length(text) / 500.0)) + 1), 6) AS saturation
+    FROM documents
+    """,
+    section="U6",
+    note="scalar @pandas_udf (Arrow-vectorized numpy tanh); value-hash-matched against DuckDB's tanh at 6dp",
+)
+def udf_pandas_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.round(_saturation_score()(F.col("text")), 6).alias("saturation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouped-map applyInPandas (UDAF / combiner shape)
+# ---------------------------------------------------------------------------
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-language length z-score, population stddev (ddof=0)."""
+    n = pdf["text"].str.len().astype("float64")
+    std = n.std(ddof=0)
+    z = (n - n.mean()) / std if std > 0 else n * float("nan")
+    return pd.DataFrame(
+        {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "len_z": z.round(4)}
+    )
+
+
+@register(
+    "udf_applyinpandas_zscore",
+    """
+    SELECT doc_id, lang,
+           round((length(text) - avg(length(text)) OVER (PARTITION BY lang))
+                 / stddev_pop(length(text)) OVER (PARTITION BY lang), 4) AS len_z
+    FROM documents
+    """,
+    section="U6",
+    note="grouped-map applyInPandas (whole group per pandas frame — the reference exposed_map contract, worker.py:9-17); oracle is the equivalent window SQL",
+)
+def udf_applyinpandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return d.groupBy("lang").applyInPandas(
+        _zscore_group, schema="doc_id bigint, lang string, len_z double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF: one row -> many rows (generalized reference flatMap)
+# ---------------------------------------------------------------------------
+
+
+def _bigram_udtf():
+    @udtf(returnType="pos int, bigram string")
+    class BigramUDTF:
+        """Yields (position, bigram) per adjacent token pair of one document."""
+
+        def eval(self, text: str):  # noqa: D102 - UDTF contract
+            import re
+
+            toks = re.findall(r"[a-z]+", (text or "").lower())
+            for i in range(len(toks) - 1):
+                yield i, f"{toks[i]} {toks[i + 1]}"
+
+    return BigramUDTF
+
+
+@register(
+    "udf_udtf_bigrams",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents WHERE doc_id < 100
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(toks) - 1)) AS i,
+             toks
+      FROM d WHERE len(toks) >= 2
+    )
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] || ' ' || toks[i + 1] AS bigram
+    FROM g
+    """,
+    section="U6",
+    note="Python UDTF (@udtf, lateral join): row -> bigram rows with position; bounded to doc_id<100 because per-row Python fan-out is the demo, not the scale path (text_bigrams_top30 is)",
+)
+def udf_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.lateralJoin(
+        _bigram_udtf()(F.col("text").outer()).alias("b")
+    ).select("doc_id", "pos", "bigram")

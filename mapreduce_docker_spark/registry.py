@@ -57,6 +57,8 @@ def _load_all() -> None:
         "dedup",
         "similarity",
         "multimodal",
+        "asof",
+        "udf",
     ):
         try:
             __import__(f"mapreduce_docker_spark.operators.{mod}_queries")
