@@ -750,3 +750,221 @@ def array_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("embedding")[0].cast("double"), 6).alias("first_component"),
         dround(F.sqrt(sq_sum), 6).alias("l2_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 widening: grouping sets, frame/analytic windows, scalar families,
+# multiset ops, approximate distinct
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_grouping_sets_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS INTEGER)   AS g_status,
+           CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+           count(*) AS n_orders,
+           floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    section="A7",
+    note="explicit GROUPING SETS with per-column grouping() flags (cube/rollup's general form)",
+)
+def agg_grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dround(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "window_first_last_orders",
+    """
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_orderkey,
+           last_value(o_orderkey)  OVER w AS latest_orderkey,
+           nth_value(o_orderkey, 2) OVER w AS second_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    section="W:analytic",
+    note="first/last/nth_value with a full-partition frame (default frame would make last_value = current row)",
+)
+def window_first_last_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+        F.last("o_orderkey").over(w).alias("latest_orderkey"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_orderkey"),
+    )
+
+
+@register(
+    "window_range_price_band",
+    """
+    SELECT o_custkey, o_orderkey,
+           count(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_in_band
+    FROM orders
+    """,
+    section="W:frame",
+    note="RANGE frame (value-based, not row-based): peers within a $10k price band below each order",
+)
+def window_range_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey", "o_orderkey", F.count(F.lit(1)).over(w).alias("n_in_band")
+    )
+
+
+@register(
+    "scalar_levenshtein_nations",
+    """
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS INTEGER) AS edit_dist
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    WHERE levenshtein(a.n_name, b.n_name) <= 7
+    """,
+    section="F:string",
+    note="levenshtein over the bounded nation dim (25x25 — broadcast nested loop is the right plan at any sf)",
+)
+def scalar_levenshtein_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (nation,) = _t(spark, sf_dir, "nation")
+    a = nation.select(F.col("n_nationkey").alias("k_a"), F.col("n_name").alias("name_a"))
+    b = nation.select(F.col("n_nationkey").alias("k_b"), F.col("n_name").alias("name_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(F.broadcast(b), F.col("k_a") < F.col("k_b"))
+        .filter(dist <= 7)
+        .select("name_a", "name_b", dist.cast("int").alias("edit_dist"))
+    )
+
+
+@register(
+    "scalar_string_customer",
+    """
+    SELECT c_custkey,
+           trim(c_name)                              AS name_trim,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+           CAST(strpos(c_name, '#') AS INTEGER)      AS hash_pos,
+           replace(c_name, '#', '-')                 AS name_dashed,
+           (c_mktsegment LIKE 'B%')                  AS is_b_segment
+    FROM customer
+    """,
+    section="F:string",
+    note="trim/lpad/instr/replace/LIKE family (instr == strpos, both 1-based)",
+)
+def scalar_string_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (cust,) = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.trim("c_name").alias("name_trim"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.instr(F.col("c_name"), "#").cast("int").alias("hash_pos"),
+        F.regexp_replace("c_name", "#", "-").alias("name_dashed"),
+        F.col("c_mktsegment").like("B%").alias("is_b_segment"),
+    )
+
+
+@register(
+    "scalar_datetime_events",
+    """
+    SELECT event_id,
+           date_trunc('hour', ts::TIMESTAMP)                    AS hour_bucket,
+           CAST(isodow(ts::TIMESTAMP) AS INTEGER)               AS iso_weekday,
+           CAST(epoch(date_trunc('second', ts::TIMESTAMP)) AS BIGINT) AS unix_sec,
+           CAST(datediff('day', DATE '2024-01-01', ts::TIMESTAMP::DATE) AS INTEGER) AS days_since_jan1
+    FROM events
+    """,
+    section="F:date",
+    note="date_trunc / ISO weekday / epoch seconds / datediff; weekday via Spark weekday()+1 == DuckDB isodow (Mon=1)",
+)
+def scalar_datetime_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.date_trunc("hour", "ts").alias("hour_bucket"),
+        (F.weekday("ts") + F.lit(1)).cast("int").alias("iso_weekday"),
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("unix_sec"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_jan1"),
+    )
+
+
+@register(
+    "setop_exceptall_priorities",
+    """
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    """,
+    section="SET",
+    note="multiset EXCEPT ALL: surplus duplicate occurrences survive (vs setop_except_statuses' set semantics)",
+)
+def setop_exceptall_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return o.exceptAll(f)
+
+
+@register(
+    "setop_union_by_name",
+    """
+    SELECT c_custkey AS entity_key, 'customer' AS kind FROM customer WHERE c_acctbal < 0
+    UNION ALL
+    SELECT s_suppkey AS entity_key, 'supplier' AS kind FROM supplier WHERE s_acctbal < 0
+    """,
+    section="SET",
+    note="unionByName aligns differently-ordered projections by column name (position-based union would silently mismatch)",
+)
+def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, supp = _t(spark, sf_dir, "customer", "supplier")
+    a = cust.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("entity_key"), F.lit("customer").alias("kind")
+    )
+    b = supp.filter(F.col("s_acctbal") < 0).select(
+        F.lit("supplier").alias("kind"), F.col("s_suppkey").alias("entity_key")
+    )
+    return a.unionByName(b)
+
+
+@register(
+    "agg_approx_distinct_users",
+    None,  # HyperLogLog++ estimate: deterministic per engine, not across engines
+    section="A4",
+    note="approx_count_distinct (HLL++, rsd=0.01) beside the exact count — the scalable variant SURVEY A4 calls for; rows-only check, pinned vs exact in tests",
+)
+def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    return events.agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count_distinct(F.col("user_id")).alias("exact_users"),
+    )

@@ -150,3 +150,31 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_docker_spark.streaming.stream_demo import run_tumbling_count_stream
 
     return run_tumbling_count_stream(spark, sf_dir, query_name=f"t10m_{uuid.uuid4().hex[:8]}")
+
+
+@register(
+    "streaming_dedup_within_watermark",
+    None,  # watermark-scoped dedup state has no DuckDB analog
+    section="ST6,U1",
+    note="readStream -> withWatermark 1h -> dropDuplicatesWithinWatermark on (user_id, event_type): bounded-state streaming exact dedup",
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_docker_spark.streaming.stream_demo import (
+        run_dedup_within_watermark_stream,
+    )
+
+    return run_dedup_within_watermark_stream(
+        spark, sf_dir, query_name=f"dd_{uuid.uuid4().hex[:8]}"
+    )
+
+
+@register(
+    "streaming_stateful_user_counts",
+    None,  # custom GroupState operator: inherently streaming-only
+    section="ST7",
+    note="applyInPandasWithState per-user running counts (explicit GroupState) — the custom stateful operator surface",
+)
+def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_docker_spark.streaming.stream_demo import run_stateful_user_counts
+
+    return run_stateful_user_counts(spark, sf_dir, query_name=f"st_{uuid.uuid4().hex[:8]}")
