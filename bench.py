@@ -40,6 +40,10 @@ HEADLINE = [
     "dedup_minhash_survivors",      # MinHash-LSH near-dedup
     "dedup_exact_survivors",        # exact content-hash dedup
     "sim_cosine_topk",              # embedding similarity top-k
+    "sim_ann_srp",                  # LSH-bucketed ANN + exact rerank
+    "asof_purchase_prior_view",     # as-of join (union + window)
+    "range_join_events_in_order_window",  # banded range join
+    "udf_applyinpandas_zscore",     # Arrow grouped-map UDF
 ]
 
 
