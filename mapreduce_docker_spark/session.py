@@ -23,6 +23,7 @@ has no native reader type for); the catalog layer converts ns -> µs on load
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -39,6 +40,11 @@ _DEFAULTS = {
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.ui.enabled": "false",
     "spark.driver.memory": "8g",
+    # managed-table location (bucketed layouts, sources/sinks.py); static
+    # conf, so it must be set at session build, and never the repo cwd
+    "spark.sql.warehouse.dir": os.path.join(
+        tempfile.gettempdir(), "spark_graft_warehouse"
+    ),
 }
 
 
