@@ -64,6 +64,8 @@ def _load_all() -> None:
             __import__(f"mapreduce_docker_spark.operators.{mod}_queries")
         except ImportError:
             pass
+    import mapreduce_docker_spark.operators.skew  # noqa: F401
+
     try:
         import mapreduce_docker_spark.streaming.window_queries  # noqa: F401
     except ImportError:
