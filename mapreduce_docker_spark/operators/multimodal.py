@@ -124,3 +124,50 @@ def frame_sample(assets: DataFrame, n_frames: int = 4) -> DataFrame:
     return assets.mapInPandas(
         batches, schema="doc_id bigint, frame_idx int, n_bytes int, frame_sha256 string"
     )
+
+
+def read_binary_assets(spark, path: str) -> DataFrame:
+    """Real media ingestion path: ``binaryFile`` source -> asset schema.
+
+    ``spark.read.format("binaryFile")`` is the production entry for
+    image/audio/video blobs on a filesystem/object store (path glob,
+    modification-time filtering, content as BinaryType). Normalized to the
+    same asset shape as :func:`with_binary_payload` so every downstream
+    operator (features, frames, resize) is source-agnostic.
+    """
+    raw = spark.read.format("binaryFile").load(path)
+    return raw.select(
+        F.col("path").alias("uri"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.element_at(F.split(F.col("path"), r"\."), -1).alias("format"),
+            F.col("length").cast("long").alias("n_bytes"),
+            F.sha2(F.col("content"), 256).alias("sha256"),
+        ).alias("meta"),
+    )
+
+
+def resize_payload(assets: DataFrame, factor: int = 2) -> DataFrame:
+    """Stub 'resize/downsample': keep every ``factor``-th payload byte.
+
+    The multimodal batch shape for lossy size reduction (image resize,
+    audio downsampling): payload in, smaller payload + refreshed metadata
+    out, Arrow end-to-end. A deployment swaps the slicer for PIL
+    ``Image.resize`` / ffmpeg resampling.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            small = pdf["payload"].map(lambda b: bytes(b[::factor]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": small,
+                    "n_bytes": small.map(len),
+                    "sha256": small.map(lambda b: hashlib.sha256(b).hexdigest()),
+                }
+            )
+
+    return assets.mapInPandas(
+        batches, schema="doc_id bigint, payload binary, n_bytes int, sha256 string"
+    )

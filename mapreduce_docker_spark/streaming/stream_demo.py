@@ -141,3 +141,43 @@ def run_stateful_user_counts(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_streaming_wordcount(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_wordcount"
+) -> DataFrame:
+    """The reference's flagship query as a Structured Streaming job.
+
+    readStream(documents.parquet) -> tokenize -> stateful count, complete
+    mode. This IS the reference's architecture made real: the reference
+    streams chunks through workers and folds counts incrementally
+    (coordinator.py:74-104); here each micro-batch updates the running
+    word->count state. tests/test_streaming.py asserts the final state
+    equals the batch flagship exactly.
+    """
+    from mapreduce_docker_spark.functions.tokenize import tokens
+
+    path = f"{sf_dir}/documents.parquet"
+    stage = os.path.join(
+        tempfile.gettempdir(), f"docs_stream_{abs(hash(os.path.abspath(path)))}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(path), link)
+    schema = spark.read.parquet(path).schema
+    docs = spark.readStream.schema(schema).parquet(stage)
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

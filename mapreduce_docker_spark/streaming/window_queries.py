@@ -178,3 +178,15 @@ def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFram
     from mapreduce_docker_spark.streaming.stream_demo import run_stateful_user_counts
 
     return run_stateful_user_counts(spark, sf_dir, query_name=f"st_{uuid.uuid4().hex[:8]}")
+
+
+@register(
+    "streaming_wordcount",
+    None,  # stateful streaming aggregation; equality with batch asserted in tests
+    section="P1-P3,A1-A2,ST1",
+    note="the reference flagship as a Structured Streaming job (readStream -> tokenize -> stateful count, complete mode); final state == batch wordcount (tests/test_streaming.py)",
+)
+def streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_docker_spark.streaming.stream_demo import run_streaming_wordcount
+
+    return run_streaming_wordcount(spark, sf_dir, query_name=f"wc_{uuid.uuid4().hex[:8]}")

@@ -52,3 +52,38 @@ def test_frame_sample_covers_payload(spark):
     for doc_id, rows in by_doc.items():
         assert 1 <= len(rows) <= 4
         assert sorted(r["frame_idx"] for r in rows) == list(range(len(rows)))
+
+
+def test_binary_file_source_roundtrip(spark, tmp_path):
+    from mapreduce_docker_spark.operators.multimodal import read_binary_assets
+
+    payloads = {f"a{i}.bin": bytes([i]) * (10 + i) for i in range(3)}
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+    assets = read_binary_assets(spark, str(tmp_path) + "/*.bin")
+    rows = {r["uri"].rsplit("/", 1)[1]: r for r in assets.collect()}
+    assert set(rows) == set(payloads)
+    for name, data in payloads.items():
+        assert bytes(rows[name]["payload"]) == data
+        assert rows[name]["meta"]["n_bytes"] == len(data)
+        assert rows[name]["meta"]["format"] == "bin"
+
+
+def test_resize_payload_halves_bytes(spark):
+    import hashlib
+
+    from mapreduce_docker_spark.operators.multimodal import (
+        resize_payload,
+        with_binary_payload,
+    )
+    from mapreduce_docker_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    assets = with_binary_payload(docs)
+    out = {r["doc_id"]: r for r in resize_payload(assets, factor=2).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        want = r["text"].encode()[::2]
+        got = out[r["doc_id"]]
+        assert bytes(got["payload"]) == want
+        assert got["n_bytes"] == len(want)
+        assert got["sha256"] == hashlib.sha256(want).hexdigest()

@@ -1,0 +1,82 @@
+"""Physical-plan assertions for headline queries.
+
+Locks in the optimizer properties the engine's scale story depends on:
+predicate pushdown, column pruning, broadcast of bounded dims, two-phase
+aggregation, and distributed top-k. A regression here (e.g. an operator
+rewrite that silently blocks pushdown) changes no row values but would be a
+100x cost difference at the design scale — so it must fail tests, not just
+slow down a benchmark.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_docker_spark.registry import all_specs
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return all_specs()
+
+
+def _plan(spark, specs, name: str) -> str:
+    return specs[name].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushdown_and_pruning(spark, specs):
+    plan = _plan(spark, specs, "q1_pricing_summary")
+    # the shipdate predicate reaches the parquet reader
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: a 16-column table read as the 7 needed columns
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+    assert read_schema.count(":") <= 8, read_schema
+
+
+def test_q1_two_phase_aggregation(spark, specs):
+    plan = _plan(spark, specs, "q1_pricing_summary")
+    # partial agg before the exchange, final after — the reference's
+    # combiner insight (worker.py:15) as Spark's default physical shape
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_q5_broadcasts_bounded_dims(spark, specs):
+    plan = _plan(spark, specs, "q5_local_supplier")
+    assert "BroadcastHashJoin" in plan
+    # the region filter is pushed into its scan
+    assert "EqualTo(r_name,EUROPE)" in plan
+
+
+def test_wordcount_shape(spark, specs):
+    plan = _plan(spark, specs, "wordcount")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Generate explode" in plan  # tokenizer stays JVM-side
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python in the hot path
+
+
+def test_topk_uses_distributed_heap(spark, specs):
+    plan = _plan(spark, specs, "wordcount_top20")
+    # limit+order compiles to TakeOrderedAndProject (per-partition heaps),
+    # not a global sort
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_semi_anti_join_shapes(spark, specs):
+    semi = _plan(spark, specs, "join_semi_urgent_customers")
+    anti = _plan(spark, specs, "join_anti_orderless_customers")
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_no_python_udf_in_sql_oracle_paths(spark, specs):
+    """Queries with SQL oracles must stay JVM-side except the declared
+    Arrow-batched UDF demos (udf_*, multimodal_*)."""
+    for name, spec in specs.items():
+        if spec.sql is None or name.startswith(("udf_", "multimodal_")):
+            continue
+        plan = _plan(spark, specs, name)
+        assert "BatchEvalPython" not in plan, f"{name} fell back to row-Python"

@@ -57,3 +57,19 @@ def test_dedup_within_watermark(spark):
         .count()
     )
     assert len(set(keys)) == distinct_keys
+
+
+def test_streaming_wordcount_equals_batch(spark):
+    from mapreduce_docker_spark.operators import wordcount as wc
+    from mapreduce_docker_spark.sources.catalog import load_table
+    from mapreduce_docker_spark.streaming.stream_demo import run_streaming_wordcount
+
+    got = {
+        (r["word"], r["cnt"])
+        for r in run_streaming_wordcount(spark, SF_SMOKE, "wc_parity_test").collect()
+    }
+    want = {
+        (r["word"], r["cnt"])
+        for r in wc.word_counts(load_table(spark, SF_SMOKE, "documents")).collect()
+    }
+    assert got == want
