@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -47,6 +48,66 @@ HEADLINE = [
 ]
 
 
+TEXT_CORPUS_MB = int(os.environ.get("SPARK_GRAFT_TEXT_MB", "256"))
+_VOCAB = [
+    "the", "of", "and", "to", "in", "a", "is", "was", "for", "on", "as",
+    "with", "by", "at", "from", "spark", "engine", "query", "shuffle",
+    "partition", "aggregate", "column", "window", "join", "scan", "sort",
+    "data", "word", "count", "stream", "batch", "vector",
+]
+
+
+def _ensure_text_corpus(path: str, total_mb: int) -> int:
+    """Deterministic pseudo-text corpus (reference workload shape: enwik9,
+    README.md:160-162). Zipf-ish draws from a fixed vocab, 8 files, cached
+    across bench runs. Returns total bytes."""
+    import random
+
+    done = os.path.join(path, ".complete")
+    if os.path.exists(done):
+        return sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".txt")
+        )
+    os.makedirs(path, exist_ok=True)
+    rng = random.Random(42)
+    weights = [1.0 / (i + 1) for i in range(len(_VOCAB))]
+    per_file = total_mb * 1_000_000 // 8
+    total = 0
+    for i in range(8):
+        fp = os.path.join(path, f"part{i}.txt")
+        with open(fp, "w") as fh:
+            n = 0
+            while n < per_file:
+                line = " ".join(rng.choices(_VOCAB, weights, k=12)) + "\n"
+                fh.write(line)
+                n += len(line)
+            total += n
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return total
+
+
+def _text_throughput(spark) -> dict:
+    """Reference-parity macro-benchmark: word count over a raw text corpus
+    (the reference's entire production job, BASELINE.md: ~2.2-6.7 MB/s)."""
+    from mapreduce_docker_spark.operators.wordcount import word_counts
+    from mapreduce_docker_spark.sources.text import read_text_corpus
+
+    corpus = os.path.join(tempfile.gettempdir(), "spark_graft_textbench")
+    n_bytes = _ensure_text_corpus(corpus, TEXT_CORPUS_MB)
+    df = word_counts(read_text_corpus(spark, corpus + "/*.txt"), "value")
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    sec = time.perf_counter() - t0
+    return {
+        "bytes": n_bytes,
+        "sec": round(sec, 3),
+        "mb_per_s": round(n_bytes / 1e6 / sec, 1),
+    }
+
+
 def main() -> None:
     specs = all_specs()
     spark = get_spark(app_name="bench")
@@ -70,6 +131,8 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
 
+        text = _text_throughput(spark)
+
         sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
         try:
             sf_val: float | str = float(sf)
@@ -83,6 +146,7 @@ def main() -> None:
                     "unit": "sec",
                     "queries": timings,
                     "sf": sf_val,
+                    "text_corpus_wordcount": text,
                 }
             )
         )
