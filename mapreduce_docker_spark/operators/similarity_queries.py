@@ -6,11 +6,19 @@ Three tiers, mirroring how a 100 TB vector pipeline is actually built:
   set: the correctness baseline. Query side is broadcast; the scan side
   streams — cost is O(|queries| x N) with no shuffle of the big side.
 * ``sim_ann_srp`` — sign-random-projection bucketing (axis-aligned
-  hyperplanes over the first 8 dims -> 256 buckets): the scale path.
+  hyperplanes over the first SRP_BITS dims): the hashing scale path.
   Candidates are co-bucketed only, then exactly reranked. Deterministic,
   hence fully oracle-checkable — unlike pyspark.ml's LSH whose random
   hyperplanes force rows-only checks (that API variant lives in
   ``sim_brp_lsh_ml``).
+* ``sim_ann_ivf`` — inverted-file cells with multi-probe: the partitioning
+  scale path (cells co-locate; a query touches nprobe partitions).
+* Recall caveat: the fixture embeddings are near-isotropic (intra-label
+  mean cosine ~0.0016), so NO sublinear method can reach high absolute
+  recall at small probe fractions; tests/test_similarity.py therefore
+  asserts recall against the scanned-fraction baseline (candidates are
+  provably better than a random subset of equal size), the standard
+  quality statement for approximate retrieval.
 * ``sim_label_cohesion`` — cluster-quality diagnostic against the ground
   truth labels.
 
@@ -41,7 +49,8 @@ N_QUERIES_TOPK = 10
 TOPK = 5
 N_QUERIES_ANN = 50
 ANN_TOPK = 3
-SRP_BITS = 8
+IVF_NPROBE = 2
+SRP_BITS = 4  # 2^4 = 16 buckets; more bits over-partitions small corpora (recall collapse)
 
 
 @register(
@@ -235,4 +244,140 @@ def sim_brp_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("datasetB.vec_id").alias("vec_b"),
             dround(F.col("dist"), 4).alias("euclidean_dist"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: centroid cells + in-cell exact rerank
+# ---------------------------------------------------------------------------
+# The other half of the ANN design space next to SRP hashing: partition the
+# vector space by nearest-centroid (inverted file), search only the query's
+# cell (nprobe=1). At 100 TB the cell assignment is the partitioning key —
+# each cell's vectors co-locate, a query touches one partition instead of
+# the corpus. Centroids are unit-normalized per-label component means — a
+# deterministic "trained" quantizer (in production: pyspark.ml.KMeans on a
+# sample; the oracle needs bit-reproducible centers, and HOW they were
+# trained is orthogonal to the operator shape under test). Component means
+# are rounded at 6dp before use and assignment ranks on the ROUNDED score
+# (cent_id tiebreak) so float accumulation drift cannot flip a near-tie
+# assignment across engines.
+
+
+def _ivf_centroids(unit: DataFrame) -> DataFrame:
+    """(cent_id, cu): unit-normalized per-label mean vectors."""
+    comp = (
+        unit.select("label", F.posexplode("u").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(dround(F.avg("val"), 6).alias("m"))
+    )
+    raw = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("craw")
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("craw"), lambda y: y * y), F.lit(0.0), lambda a, b: a + b
+        )
+    )
+    return raw.select(
+        F.col("label").alias("cent_id"),
+        F.transform(F.col("craw"), lambda x: x / norm).alias("cu"),
+    )
+
+
+_SQL_IVF_CENT = f"""
+    comp AS (
+      SELECT label, i, {rsql('avg(u[i])', 6)} AS m
+      FROM unit, unnest(generate_series(1, len(u))) AS t(i)
+      GROUP BY label, i
+    ),
+    centraw AS (SELECT label AS cent_id, list(m ORDER BY i) AS craw FROM comp GROUP BY label),
+    cent AS (
+      SELECT cent_id,
+             list_transform(craw, x -> x / sqrt(list_reduce(
+               list_prepend(0.0, list_transform(craw, y -> y * y)),
+               (a, b) -> a + b))) AS cu
+      FROM centraw
+    )
+"""
+
+
+@register(
+    "sim_ann_ivf",
+    _SQL_UNIT
+    + ","
+    + _SQL_IVF_CENT
+    + f""",
+    assign AS (
+      SELECT v.vec_id, v.label, v.u, c.cent_id,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {rsql(_sql_dot('v.u', 'c.cu'), 4)} DESC, c.cent_id ASC) AS rn
+      FROM unit v JOIN cent c ON true
+    ),
+    cells AS (SELECT vec_id, label, u, cent_id FROM assign WHERE rn = 1),
+    probes AS (SELECT vec_id, u, cent_id FROM assign
+               WHERE rn <= {IVF_NPROBE} AND vec_id < {N_QUERIES_ANN}),
+    scored AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             CAST(n.cent_id AS INTEGER) AS cell,
+             {rsql(_sql_dot('q.u', 'n.u'), 4)} AS cos_sim
+      FROM probes q JOIN cells n ON n.cent_id = q.cent_id AND n.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cell, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {ANN_TOPK}
+    """,
+    section="U3,J5",
+    note=f"IVF ANN: per-label-mean centroid cells, nprobe={IVF_NPROBE} multi-probe + in-cell exact rerank, top-{ANN_TOPK}; deterministic quantizer -> full oracle",
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    unit = _unit_vectors(spark, sf_dir)
+    cent = _ivf_centroids(unit)
+    scored_cent = unit.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "u",
+        "cent_id",
+        dround(_dot(F.col("u"), F.col("cu")), 4).alias("cscore"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("cscore"), F.asc("cent_id"))
+    ranked = scored_cent.withColumn("rn", F.row_number().over(wa))
+    # index side: each vector lives in exactly its nearest cell
+    cells = ranked.filter(F.col("rn") == 1).select("vec_id", "u", "cent_id")
+    # query side: probe the IVF_NPROBE nearest cells (multi-probe)
+    q = (
+        ranked.filter((F.col("rn") <= IVF_NPROBE) & (F.col("vec_id") < N_QUERIES_ANN))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cent_id").alias("cell"),
+            F.col("u").alias("qu"),
+        )
+    )
+    n = cells.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cent_id").alias("n_cell"),
+        F.col("u").alias("nu"),
+    )
+    scored = (
+        q.join(
+            n,
+            (F.col("n_cell") == F.col("cell"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("n_cell").cast("int").alias("cell"),
+            dround(_dot(F.col("qu"), F.col("nu")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_TOPK)
+        .select("query_id", "neighbor_id", "cell", "cos_sim", "rank")
     )
