@@ -968,3 +968,71 @@ def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.count_distinct(F.col("user_id")).alias("exact_users"),
     )
+
+
+@register(
+    "join_full_outer_balances",
+    """
+    SELECT n.n_nationkey, c.agg_bal AS cust_bal, s.agg_bal AS supp_bal
+    FROM (SELECT c_nationkey, floor(sum(c_acctbal) * 100.0 + 0.5) / 100.0 AS agg_bal
+          FROM customer GROUP BY c_nationkey) c
+    FULL OUTER JOIN (SELECT s_nationkey, floor(sum(s_acctbal) * 100.0 + 0.5) / 100.0 AS agg_bal
+                     FROM supplier GROUP BY s_nationkey) s
+      ON c.c_nationkey = s.s_nationkey
+    JOIN nation n ON n.n_nationkey = coalesce(c.c_nationkey, s.s_nationkey)
+    """,
+    section="J1",
+    note="full outer join of per-nation customer/supplier balance rollups (nations may miss either side)",
+)
+def join_full_outer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, supp, nation = _t(spark, sf_dir, "customer", "supplier", "nation")
+    c = cust.groupBy("c_nationkey").agg(dround(F.sum("c_acctbal"), 2).alias("cust_bal"))
+    s = supp.groupBy("s_nationkey").agg(dround(F.sum("s_acctbal"), 2).alias("supp_bal"))
+    both = c.join(s, c["c_nationkey"] == s["s_nationkey"], "full_outer").select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("k"), "cust_bal", "supp_bal"
+    )
+    return both.join(
+        F.broadcast(nation), both["k"] == nation["n_nationkey"]
+    ).select("n_nationkey", "cust_bal", "supp_bal")
+
+
+@register(
+    "join_cross_region_priority_grid",
+    """
+    SELECT r.r_name, p.o_orderpriority,
+           CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+    LEFT JOIN (
+      SELECT r2.r_name AS rn, o2.o_orderpriority AS op, count(*) AS n
+      FROM orders o2
+      JOIN customer c ON c.c_custkey = o2.o_custkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+      GROUP BY 1, 2
+    ) o ON o.rn = r.r_name AND o.op = p.o_orderpriority
+    """,
+    section="J1,J4",
+    note="cross join builds the dense (region x priority) grid, left join fills counts (0 for empty cells) — the dense-report shape a plain GROUP BY cannot produce",
+)
+def join_cross_region_priority_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region, orders, cust, nation = _t(
+        spark, sf_dir, "region", "orders", "customer", "nation"
+    )
+    grid = region.select("r_name").crossJoin(
+        orders.select("o_orderpriority").distinct()
+    )
+    counts = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(region["r_name"].alias("rn"), F.col("o_orderpriority").alias("op"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return grid.join(
+        counts,
+        (grid["r_name"] == counts["rn"]) & (grid["o_orderpriority"] == counts["op"]),
+        "left",
+    ).select(
+        "r_name", "o_orderpriority", F.coalesce("n", F.lit(0)).alias("n_orders")
+    )

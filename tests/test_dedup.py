@@ -35,3 +35,43 @@ def test_embedding_pairs_within_label_only(spark):
     rows = dq.dedup_embedding_pairs(spark, SF_SMOKE).collect()
     assert len(rows) > 0
     assert all(0.40 <= r["cos_sim"] <= 1.0 for r in rows)
+
+
+def test_minhash_lsh_recall_vs_brute_force(spark):
+    """LSH candidate generation vs exhaustive ground truth (sf0.001).
+
+    Precision is 1.0 by construction (candidates are exact-Jaccard
+    verified); the quantity under test is recall: with 4 bands x 4 rows,
+    P(candidate | J=0.9) ~ 0.99 per pair, so near-dup pairs at the fixture's
+    planted J>=0.9 should essentially all surface. Deterministic hashing
+    makes the observed value stable, not flaky.
+    """
+    from pyspark.sql import functions as F
+
+    from mapreduce_docker_spark.operators.dedup_queries import (
+        JACCARD_THRESHOLD,
+        _jaccard,
+        _shingled,
+        dedup_minhash_pairs,
+    )
+
+    sh = _shingled(spark, SF_SMOKE)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    brute = {
+        (r["doc_a"], r["doc_b"])
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", _jaccard(F.col("sh_a"), F.col("sh_b")).alias("j")
+        )
+        .filter(F.col("j") >= JACCARD_THRESHOLD)
+        .collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_minhash_pairs(spark, SF_SMOKE).collect()
+    }
+    assert lsh <= brute, f"false positives slipped past verification: {lsh - brute}"
+    assert brute, "fixture should contain planted near-dup pairs"
+    recall = len(lsh & brute) / len(brute)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} over {len(brute)} true pairs"

@@ -1,0 +1,32 @@
+"""CSV / ND-JSON round-trips preserve values and types (sources/formats.py)."""
+
+from __future__ import annotations
+
+import os
+
+from mapreduce_docker_spark.sources.catalog import load_table
+from mapreduce_docker_spark.sources import formats as fmt
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    orders = load_table(spark, SF, "orders")
+    out = os.path.join(str(tmp_path), "orders_csv")
+    schema = fmt.write_csv(orders, out)
+    back = fmt.read_csv(spark, out, schema)
+    assert back.schema == orders.schema
+    assert _rows(back) == _rows(orders)
+
+
+def test_ndjson_roundtrip(spark, tmp_path):
+    ev = load_table(spark, SF, "events")
+    out = os.path.join(str(tmp_path), "events_json")
+    schema = fmt.write_ndjson(ev, out)
+    back = fmt.read_ndjson(spark, out, schema)
+    assert back.schema == ev.schema
+    assert _rows(back) == _rows(ev)
