@@ -416,3 +416,96 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected-components clustering over the near-dup graph
+# ---------------------------------------------------------------------------
+# The production dedup shape: near-dup PAIRS form a graph; the unit of
+# dedup is its connected component (A~B, B~C => {A,B,C} is one duplicate
+# cluster even if A,C never collided). Spark side: iterative min-label
+# propagation — each round every vertex takes the min label in its
+# neighborhood; rounds = O(component diameter), and near-dup components
+# are tiny (clusters of rewrites of one document), so 2-4 rounds close the
+# fixpoint. Per-round cost is one shuffle join; the driver only ever sees
+# a single "did anything change" scalar per round (no data funnel). The
+# DuckDB oracle computes the same fixpoint as a recursive transitive
+# closure — tractable because components are small, and exactly the kind
+# of semantics SQL can certify while Spark owns the scale path.
+
+
+def dedup_cluster_labels(pairs: DataFrame, all_ids: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id): min doc_id reachable in the near-dup graph.
+
+    ``pairs``: (doc_a, doc_b) undirected edges; ``all_ids``: (doc_id) —
+    vertices absent from every edge come out as their own singleton cluster.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+    )
+    while True:
+        # neighbor's current label, keyed by edge destination
+        nbr = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .select(F.col("dst").alias("doc_id"), F.col("lbl").alias("nbr_lbl"))
+            .groupBy("doc_id")
+            .agg(F.min("nbr_lbl").alias("nbr_lbl"))
+        )
+        updated = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("new_lbl"),
+                F.col("lbl"),
+            )
+        )
+        changed = updated.filter(F.col("new_lbl") != F.col("lbl")).limit(1).count()
+        labels = updated.select("doc_id", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            break
+        labels = labels.localCheckpoint(eager=True)  # truncate iterative lineage
+    return all_ids.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("lbl", F.col("doc_id")).alias("cluster_id")
+    )
+
+
+@register(
+    "dedup_minhash_clusters",
+    _SQL_SIG_CTE
+    + f""",
+    verified AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c JOIN d da ON da.doc_id = c.doc_a JOIN d db ON db.doc_id = c.doc_b
+      WHERE {rsql(_sql_jaccard('da.sh', 'db.sh'), 4)} >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM verified
+    ),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.b FROM edges e JOIN r ON r.a = e.dst
+      )
+      SELECT a, b FROM r
+    ),
+    comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+    SELECT doc.doc_id, coalesce(comp.cluster_id, doc.doc_id) AS cluster_id
+    FROM documents doc LEFT JOIN comp ON comp.doc_id = doc.doc_id
+    """,
+    section="U2,U1",
+    note="connected components of the verified near-dup graph: iterative min-label propagation (Spark) == recursive transitive closure (oracle); singletons keep their own id",
+)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    all_ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    return dedup_cluster_labels(pairs, all_ids)

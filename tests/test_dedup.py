@@ -75,3 +75,15 @@ def test_minhash_lsh_recall_vs_brute_force(spark):
     assert brute, "fixture should contain planted near-dup pairs"
     recall = len(lsh & brute) / len(brute)
     assert recall >= 0.9, f"LSH recall {recall:.2f} over {len(brute)} true pairs"
+
+
+def test_cluster_labels_transitive(spark):
+    """A~B, B~C => one cluster, even though A,C never paired directly."""
+    from mapreduce_docker_spark.operators.dedup_queries import dedup_cluster_labels
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, 6), (6, 7), (7, 8)], "doc_a long, doc_b long"
+    )
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 6, 7, 8, 10, 11]], "doc_id long")
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_cluster_labels(pairs, docs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 5, 8: 5, 10: 10, 11: 10}
