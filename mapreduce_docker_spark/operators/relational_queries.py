@@ -1036,3 +1036,92 @@ def join_cross_region_priority_grid(spark: SparkSession, sf_dir: str) -> DataFra
     ).select(
         "r_name", "o_orderpriority", F.coalesce("n", F.lit(0)).alias("n_orders")
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT floor(sum(l_extendedprice * l_discount) * 100.0 + 0.5) / 100.0 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    section="A7,P5",
+    note="TPC-H Q6 shape: pure scan-filter-sum, no shuffle beyond the final 1-row agg — the pushdown showcase",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dround(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT o.o_orderkey, o.o_custkey,
+           floor(sum(l.l_quantity) * 100.0 + 0.5) / 100.0 AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey
+    HAVING sum(l.l_quantity) > 300
+    """,
+    section="J1,A7",
+    note="TPC-H Q18 shape: join + grouped sum + HAVING (post-aggregation predicate)",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    return (
+        orders.join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+            F.sum("l_quantity").alias("_raw_qty"),
+        )
+        .filter(F.col("_raw_qty") > 300)
+        .select("o_orderkey", "o_custkey", dround(F.col("_raw_qty"), 2).alias("total_qty"))
+    )
+
+
+@register(
+    "sql_interface_revenue_by_nation",
+    """
+    SELECT n.n_name,
+           floor(sum(l.l_extendedprice * (1.0 - l.l_discount)) * 100.0 + 0.5) / 100.0 AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+    section="A7,J1",
+    note="raw spark.sql() over registered temp views — the engine's SQL-string interface (same Catalyst plan as the DataFrame API)",
+)
+def sql_interface_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_docker_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    # note the D suffixes: Spark SQL parses bare 100.0 as DECIMAL (the
+    # DataFrame API's lit(100.0) is DOUBLE) and decimal arithmetic would
+    # change both the result type and the rounding value
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               floor(sum(l.l_extendedprice * (1.0D - l.l_discount)) * 100.0D + 0.5D) / 100.0D AS revenue
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n   ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+        """
+    )
