@@ -143,3 +143,49 @@ def udf_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.lateralJoin(
         _bigram_udtf()(F.col("text").outer()).alias("b")
     ).select("doc_id", "pos", "bigram")
+
+
+# ---------------------------------------------------------------------------
+# cogrouped applyInPandas: two grouped relations, one pandas callable
+# ---------------------------------------------------------------------------
+
+
+def _user_conversion(key, events_pdf: pd.DataFrame, orders_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-user purchase-event count vs order count, joined in pandas."""
+    (user_id,) = key
+    n_purchases = int((events_pdf["event_type"] == "purchase").sum())
+    n_orders = int(len(orders_pdf))
+    return pd.DataFrame(
+        {"user_id": [user_id], "n_purchase_events": [n_purchases], "n_orders": [n_orders]}
+    )
+
+
+@register(
+    "udf_cogroup_user_conversion",
+    """
+    SELECT coalesce(e.user_id, o.o_custkey) AS user_id,
+           CAST(coalesce(e.np, 0) AS BIGINT) AS n_purchase_events,
+           CAST(coalesce(o.n, 0) AS BIGINT)  AS n_orders
+    FROM (SELECT user_id,
+                 sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+          FROM events GROUP BY user_id) e
+    FULL OUTER JOIN
+         (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey) o
+      ON o.o_custkey = e.user_id
+    """,
+    section="U6",
+    note="cogrouped applyInPandas (events x orders per user in one pandas call) — the two-sided exposed_map generalization; cogroup iterates the UNION of both key sets, so the oracle is a full-outer join of the two rollups",
+)
+def udf_cogroup_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id")
+    )
+    return (
+        ev.groupBy("user_id")
+        .cogroup(orders.groupBy("user_id"))
+        .applyInPandas(
+            _user_conversion,
+            schema="user_id bigint, n_purchase_events bigint, n_orders bigint",
+        )
+    )

@@ -181,3 +181,54 @@ def run_streaming_wordcount(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_stream_stream_join(
+    spark: SparkSession, sf_dir: str, query_name: str = "ss_join"
+) -> DataFrame:
+    """Watermarked stream-stream join: purchases joined to prior views.
+
+    Both sides are unbounded; the watermark + time-bound condition is what
+    lets Spark EVICT join state (a view older than the bound can never
+    match a future purchase) — without it, state grows with the stream.
+    The batch as-of analog is asof_purchase_prior_view; here the join keeps
+    every view within the window, the streaming-legal formulation.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_event_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "30 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            """
+            p_user = v_user AND
+            view_ts <= purchase_ts AND
+            view_ts >= purchase_ts - INTERVAL 10 MINUTES
+            """
+        ),
+    ).select("purchase_event_id", "p_user", "purchase_ts", "view_event_id", "view_ts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

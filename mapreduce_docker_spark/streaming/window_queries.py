@@ -190,3 +190,15 @@ def streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_docker_spark.streaming.stream_demo import run_streaming_wordcount
 
     return run_streaming_wordcount(spark, sf_dir, query_name=f"wc_{uuid.uuid4().hex[:8]}")
+
+
+@register(
+    "streaming_stream_stream_join",
+    None,  # join-state eviction semantics are streaming-only
+    section="ST7,J4",
+    note="watermarked stream-stream join (purchases x views within 10 min): the time bound is what lets Spark evict join state on unbounded input",
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_docker_spark.streaming.stream_demo import run_stream_stream_join
+
+    return run_stream_stream_join(spark, sf_dir, query_name=f"ssj_{uuid.uuid4().hex[:8]}")
