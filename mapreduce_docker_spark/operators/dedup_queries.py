@@ -12,11 +12,14 @@ The LLM-data-pipeline dedup surface over ``documents`` and ``embeddings``:
 * embedding near-dup — label-blocked exact cosine over unit vectors.
 
 Scale design (100 TB): the LSH pipeline is the canonical shuffle-bounded
-shape — per-row signature computation (codegen, no shuffle), explode to
-(band, band_sig) keys, one hash-partitioned self-join on the band key, then
-exact verification only on candidates. Bucket sizes are bounded by
-near-dup cluster size, not corpus size; skewed buckets (boilerplate docs)
-are exactly what AQE skew-join splitting handles. The brute-force variants
+shape — per-row signature computation (explode + codegen'd min-agg, one
+md5 per shingle), explode to (band, band_sig) keys, ONE hash-partitioned
+bucket grouping that emits in-bucket candidate pairs (no self-join: the
+signature subtree is computed once), then exact verification only on
+candidates. Bucket sizes are bounded by near-dup cluster size, not corpus
+size; a pathological bucket (boilerplate docs) is bounded by
+collect_list's per-group memory — at 100 TB, cap bucket size with a
+size filter and route oversized buckets to the salted path. The brute-force variants
 are deliberately bounded (key-range sample / label block) and documented as
 verification paths, not scale paths.
 

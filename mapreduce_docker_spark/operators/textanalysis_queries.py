@@ -342,3 +342,50 @@ def text_lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         dround(F.avg("n_chars"), 4).alias("avg_chars"),
     )
+
+
+@register(
+    "text_ml_pipeline_tfidf",
+    None,  # HashingTF murmur3 bucket ids are Spark-internal; vectors aren't SQL-comparable
+    section="U4,U6",
+    note="pyspark.ml Pipeline API parity (RegexTokenizer -> StopWordsRemover -> NGram -> HashingTF -> IDF); the SQL-oracle-checked equivalents are text_bigrams_top30/text_tfidf_top_term",
+)
+def text_ml_pipeline_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import (
+        IDF,
+        HashingTF,
+        NGram,
+        RegexTokenizer,
+        StopWordsRemover,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pipe = Pipeline(
+        stages=[
+            RegexTokenizer(
+                inputCol="text", outputCol="toks", pattern="[a-z]+", gaps=False,
+                toLowercase=True,
+            ),
+            StopWordsRemover(
+                inputCol="toks", outputCol="kept", stopWords=list(STOPWORDS)
+            ),
+            NGram(n=2, inputCol="kept", outputCol="grams"),
+            HashingTF(inputCol="grams", outputCol="tf", numFeatures=1 << 12),
+            IDF(inputCol="tf", outputCol="tfidf"),
+        ]
+    )
+    model = pipe.fit(docs)
+    out = model.transform(docs)
+    # project vector columns to stable scalars for the rows-only check
+    from pyspark.ml.functions import vector_to_array
+
+    arr = vector_to_array(F.col("tfidf"))
+    return out.select(
+        "doc_id",
+        F.size("kept").alias("n_kept_tokens"),
+        F.size("grams").alias("n_bigrams"),
+        dround(
+            F.aggregate(arr, F.lit(0.0), lambda a, b: a + b), 4
+        ).alias("tfidf_mass"),
+    )
