@@ -1125,3 +1125,135 @@ def sql_interface_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFra
         GROUP BY n.n_name
         """
     )
+
+
+@register(
+    "q4_order_priority_check",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    section="J3,A7",
+    note="TPC-H Q4 shape: correlated EXISTS subquery — Catalyst rewrites it to a left-semi join",
+)
+def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    late = li.select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            late,
+            (late["l_orderkey"] == o["o_orderkey"])
+            & (late["l_shipdate"] > o["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "q12_shipmode_priority",
+    """
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_linestatus
+    """,
+    section="J1,A7,P5",
+    note="TPC-H Q12 shape: conditional (CASE) aggregation over a join",
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(orders, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    """
+    SELECT floor(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                                  THEN l.l_extendedprice * (1.0 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1.0 - l.l_discount)) * 10000.0 + 0.5)
+           / 10000.0 AS promo_share_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+    section="J1,A7",
+    note="TPC-H Q14 shape: ratio of conditional to total aggregate in one pass",
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    rev = _revenue()
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+        )
+        .join(part, part["p_partkey"] == li["l_partkey"])
+        .agg(
+            dround(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias(
+                "promo_share_pct"
+            )
+        )
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    """
+    SELECT substring(c_name, 10, 2) AS name_tag,
+           count(*) AS n_custs,
+           floor(sum(c_acctbal) * 100.0 + 0.5) / 100.0 AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY 1
+    """,
+    section="J3,A7,P5",
+    note="TPC-H Q22 shape: scalar subquery (uncorrelated avg) + anti join (NOT EXISTS)",
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    # scalar subquery as a broadcast 1-row cross join: no collect(), no
+    # driver round trip — the plan stays a single declarative DAG
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(orders, orders["o_custkey"] == cust["c_custkey"], "left_anti")
+        .groupBy(F.substring("c_name", 10, 2).alias("name_tag"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            dround(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
