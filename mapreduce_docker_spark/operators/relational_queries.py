@@ -1257,3 +1257,34 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+@register(
+    "scalar_null_semantics",
+    """
+    SELECT c_custkey,
+           nullif(c_mktsegment, 'BUILDING')                  AS seg_or_null,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'N/A') AS seg_filled,
+           (nullif(c_acctbal, 0.0) IS NULL)                  AS zero_bal,
+           (nullif(c_mktsegment, 'BUILDING')
+              IS NOT DISTINCT FROM nullif(c_mktsegment, 'BUILDING')) AS selfsame,
+           CASE WHEN c_acctbal > 5000 THEN 'high'
+                WHEN c_acctbal > 0    THEN 'mid' END         AS band_or_null
+    FROM customer
+    """,
+    section="P5,F:string",
+    note="three-valued logic: nullif/coalesce/IS NULL, null-safe equality (Spark <=> == SQL IS NOT DISTINCT FROM), CASE with no ELSE -> NULL",
+)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (cust,) = _t(spark, sf_dir, "customer")
+    seg_null = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return cust.select(
+        "c_custkey",
+        seg_null.alias("seg_or_null"),
+        F.coalesce(seg_null, F.lit("N/A")).alias("seg_filled"),
+        F.nullif(F.col("c_acctbal"), F.lit(0.0)).isNull().alias("zero_bal"),
+        seg_null.eqNullSafe(seg_null).alias("selfsame"),
+        F.when(F.col("c_acctbal") > 5000, "high")
+        .when(F.col("c_acctbal") > 0, "mid")
+        .alias("band_or_null"),
+    )
