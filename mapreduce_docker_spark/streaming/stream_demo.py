@@ -232,3 +232,37 @@ def run_stream_stream_join(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_incremental_wordcount(
+    spark: SparkSession, text_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Checkpointed incremental ingest: process ONLY files not yet seen.
+
+    The durable version of the reference's chunked pipeline
+    (coordinator.py:85-104): the file-source checkpoint records which input
+    files each micro-batch consumed, so a rerun after adding files (or
+    after a crash) processes exactly the delta — the reference's dispatch
+    loop restarted from zero every run. Per-batch word counts are appended
+    to a parquet sink via foreachBatch with the epoch id; the global count
+    is the grouped sum over batches (re-aggregatable, A1/A2 shape).
+    """
+    from mapreduce_docker_spark.operators.wordcount import word_counts
+
+    lines = spark.readStream.format("text").load(text_dir)
+
+    def sink(batch_df, epoch_id: int) -> None:
+        (
+            word_counts(batch_df, "value")
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        lines.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
