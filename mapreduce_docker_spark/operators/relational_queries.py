@@ -1288,3 +1288,49 @@ def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("c_acctbal") > 0, "mid")
         .alias("band_or_null"),
     )
+
+
+@register(
+    "agg_percentiles_by_segment",
+    """
+    SELECT c_mktsegment,
+           floor(median(c_acctbal) * 100.0 + 0.5) / 100.0 AS median_bal,
+           floor(quantile_cont(c_acctbal, 0.9) * 100.0 + 0.5) / 100.0 AS p90_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+    section="A7",
+    note="exact percentiles (interpolated): Spark median/percentile == DuckDB median/quantile_cont; approx_percentile is the sketch variant for 100 TB (not oracle-matchable)",
+)
+def agg_percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (cust,) = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        dround(F.median("c_acctbal"), 2).alias("median_bal"),
+        dround(F.percentile("c_acctbal", 0.9), 2).alias("p90_bal"),
+    )
+
+
+@register(
+    "window_distribution_ranks",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           floor(percent_rank() OVER w * 10000.0 + 0.5) / 10000.0 AS pct_rank,
+           floor(cume_dist()    OVER w * 10000.0 + 0.5) / 10000.0 AS cume,
+           CAST(ntile(10) OVER w AS INTEGER) AS decile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+    section="W:rank",
+    note="distribution window functions: percent_rank / cume_dist / ntile over a deterministic total order",
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        dround(F.percent_rank().over(w), 4).alias("pct_rank"),
+        dround(F.cume_dist().over(w), 4).alias("cume"),
+        F.ntile(10).over(w).cast("int").alias("decile"),
+    )
