@@ -1334,3 +1334,47 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.cume_dist().over(w), 4).alias("cume"),
         F.ntile(10).over(w).cast("int").alias("decile"),
     )
+
+
+@register(
+    "json_map_entries",
+    """
+    WITH k AS (
+      SELECT event_id, unnest(json_keys(props)) AS map_key, props FROM events
+    )
+    SELECT event_id, map_key,
+           CAST(json_extract(props, '$.' || map_key) AS INTEGER) AS map_value
+    FROM k
+    """,
+    section="F:json,F:map",
+    note="JSON -> MapType -> exploded entries: from_json(map<string,int>) + explode == json_keys + json_extract",
+)
+def json_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,int>")
+    return events.select(
+        "event_id", F.explode(m).alias("map_key", "map_value")
+    ).select("event_id", "map_key", F.col("map_value").cast("int"))
+
+
+@register(
+    "agg_collect_order_keys",
+    """
+    SELECT o_custkey,
+           list(o_orderkey ORDER BY o_orderkey) AS order_keys,
+           CAST(len(list(o_orderkey)) AS INTEGER) AS n_orders
+    FROM orders WHERE o_custkey < 200 GROUP BY o_custkey
+    """,
+    section="A7,F:array",
+    note="collect_list with explicit sort_array == DuckDB list(... ORDER BY): list-valued aggregation made deterministic (raw collect order is partition-dependent)",
+)
+def agg_collect_order_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_custkey") < 200)
+        .groupBy("o_custkey")
+        .agg(
+            F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+            F.count(F.lit(1)).cast("int").alias("n_orders"),
+        )
+    )
