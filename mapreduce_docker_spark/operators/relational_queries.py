@@ -1378,3 +1378,30 @@ def agg_collect_order_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("int").alias("n_orders"),
         )
     )
+
+
+@register(
+    "scalar_interval_orders",
+    """
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 90 DAY                      AS due_date,
+           -- 4 MONTH, not 3: DuckDB normalizes 1 month = 30 days for interval
+           -- EQUALITY, so INTERVAL 3 MONTH == INTERVAL 90 DAY and its CSE
+           -- merges the two additions into one result
+           CAST(o_orderdate + INTERVAL 4 MONTH AS TIMESTAMP)  AS review_date,
+           CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start,
+           CAST(last_day(o_orderdate::DATE) AS TIMESTAMP)     AS month_end
+    FROM orders WHERE o_orderkey < 5000
+    """,
+    section="F:date",
+    note="interval arithmetic: day/month addition (both engines clamp month-end), quarter truncation, last_day; month offset chosen to dodge DuckDB's 30-day-normalized interval-equality CSE",
+)
+def scalar_interval_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") < 5000).select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.add_months(F.col("o_orderdate"), 4).cast("timestamp").alias("review_date"),
+        F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+    )

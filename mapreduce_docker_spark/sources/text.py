@@ -40,3 +40,20 @@ def write_tsv(df: DataFrame, path: str, single_file: bool = True) -> None:
 def show_topk(df: DataFrame, k: int = 20) -> None:
     """Formatted top-k console sink (reference coordinator.py:123-129)."""
     df.show(k, truncate=False)
+
+
+def format_topk(rows, k: int = 20) -> str:
+    """Reference-style console rendering of ranked (word, count) rows.
+
+    Spec per SURVEY.md §2 S6 (reference coordinator.py:123-129): one line
+    per rank, word column width-aligned to the longest word shown,
+    thousands separators on counts. Presentation-layer only — the engine
+    result is the DataFrame; this renders a small collected head.
+    """
+    head = rows[:k]
+    if not head:
+        return "(empty)"
+    width = max(len(w) for w, _ in head)
+    return "\n".join(
+        f"{i + 1:>4}. {w:<{width}}  {c:>15,}" for i, (w, c) in enumerate(head)
+    )

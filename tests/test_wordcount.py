@@ -140,3 +140,15 @@ def test_strict_vs_standard_divergence(spark):
     }
     assert std == {"caf": 1, "x": 1, "y": 1, "plain": 1}
     assert strict == {"plain": 1}
+
+
+def test_format_topk_golden():
+    from mapreduce_docker_spark.sources.text import format_topk
+
+    out = format_topk([("the", 91836871), ("of", 50481034), ("a", 7)], k=3)
+    assert out.splitlines() == [
+        "   1. the       91,836,871",
+        "   2. of        50,481,034",
+        "   3. a                  7",
+    ]
+    assert format_topk([]) == "(empty)"
