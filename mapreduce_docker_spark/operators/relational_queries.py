@@ -1405,3 +1405,49 @@ def scalar_interval_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
         F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
     )
+
+
+@register(
+    "array_hof_embeddings",
+    f"""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive,
+           (len(list_filter(embedding, x -> abs(x) > 0.29)) > 0)    AS has_extreme,
+           (len(list_filter(embedding, x -> abs(x) <= 1.0)) = len(embedding)) AS all_bounded,
+           floor(list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(generate_series(1, len(embedding)),
+                                i -> CAST(embedding[i] AS DOUBLE) * i)),
+                 (a, b) -> a + b) * 10000.0 + 0.5) / 10000.0 AS weighted_sum
+    FROM embeddings
+    """,
+    section="F:array",
+    note="higher-order array functions: filter/exists/forall/zip_with-shaped position-weighted fold (exists == filter-len>0 in DuckDB)",
+)
+def array_hof_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    idx = F.sequence(F.lit(1), F.size(e))
+    weighted = F.aggregate(
+        F.zip_with(e, idx, lambda x, i: x.cast("double") * i),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(e, lambda x: x > 0)).cast("int").alias("n_positive"),
+        F.exists(e, lambda x: F.abs(x) > 0.29).alias("has_extreme"),
+        F.forall(e, lambda x: F.abs(x) <= 1.0).alias("all_bounded"),
+        dround(weighted, 4).alias("weighted_sum"),
+    )
+
+
+@register(
+    "sample_events_bernoulli",
+    None,  # sample RNG streams are engine-internal; rows-only + statistical test
+    section="P5,ST4",
+    note="seeded Bernoulli sample (df.sample fraction=0.1 seed=42) + per-type stratified sampleBy — the bench-on-a-sample primitive at 100 TB; sampling distribution asserted in tests/test_sampling.py",
+)
+def sample_events_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    samp = events.sample(fraction=0.1, seed=42)
+    return samp.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
