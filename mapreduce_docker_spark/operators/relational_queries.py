@@ -1451,3 +1451,86 @@ def sample_events_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _t(spark, sf_dir, "events")
     samp = events.sample(fraction=0.1, seed=42)
     return samp.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@register(
+    "agg_pivot_status_by_segment",
+    """
+    SELECT c.c_mktsegment,
+           CAST(sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(sum(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(sum(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    section="A7",
+    note="pivot (long->wide): explicit value list keeps the schema static — at scale an unlisted pivot would need an extra distinct pass AND produce a data-dependent schema",
+)
+def agg_pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, cust = _t(spark, sf_dir, "orders", "customer")
+    return (
+        orders.join(cust, cust["c_custkey"] == orders["o_custkey"])
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@register(
+    "agg_unpivot_balances",
+    """
+    SELECT n_nationkey, kind, floor(bal * 100.0 + 0.5) / 100.0 AS bal
+    FROM (
+      SELECT n.n_nationkey,
+             coalesce(c.b, 0.0) AS customer_bal,
+             coalesce(s.b, 0.0) AS supplier_bal
+      FROM nation n
+      LEFT JOIN (SELECT c_nationkey, sum(c_acctbal) AS b FROM customer GROUP BY 1) c
+        ON c.c_nationkey = n.n_nationkey
+      LEFT JOIN (SELECT s_nationkey, sum(s_acctbal) AS b FROM supplier GROUP BY 1) s
+        ON s.s_nationkey = n.n_nationkey
+    ) UNPIVOT (bal FOR kind IN (customer_bal, supplier_bal))
+    """,
+    section="A7,SET",
+    note="unpivot (wide->long): Spark unpivot == SQL UNPIVOT; the melt primitive",
+)
+def agg_unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation, cust, supp = _t(spark, sf_dir, "nation", "customer", "supplier")
+    c = cust.groupBy("c_nationkey").agg(F.sum("c_acctbal").alias("cb"))
+    s = supp.groupBy("s_nationkey").agg(F.sum("s_acctbal").alias("sb"))
+    wide = (
+        nation.join(c, c["c_nationkey"] == nation["n_nationkey"], "left")
+        .join(s, s["s_nationkey"] == nation["n_nationkey"], "left")
+        .select(
+            "n_nationkey",
+            F.coalesce("cb", F.lit(0.0)).alias("customer_bal"),
+            F.coalesce("sb", F.lit(0.0)).alias("supplier_bal"),
+        )
+    )
+    return wide.unpivot(
+        "n_nationkey", ["customer_bal", "supplier_bal"], "kind", "_raw_bal"
+    ).select("n_nationkey", "kind", dround(F.col("_raw_bal"), 2).alias("bal"))
+
+
+@register(
+    "agg_stats_quantity_price",
+    """
+    SELECT l_returnflag,
+           floor(corr(l_quantity, l_extendedprice)      * 1000000.0 + 0.5) / 1000000.0 AS qp_corr,
+           floor(covar_pop(l_quantity, l_extendedprice) * 10000.0 + 0.5) / 10000.0     AS qp_covar,
+           floor(stddev_pop(l_quantity)                 * 1000000.0 + 0.5) / 1000000.0 AS q_stddev,
+           floor(var_pop(l_extendedprice)               * 100.0 + 0.5) / 100.0         AS p_var
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    section="A7,F:math",
+    note="statistical aggregates: corr / covar_pop / stddev_pop / var_pop (identical closed forms on both engines, rounded)",
+)
+def agg_stats_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dround(F.corr("l_quantity", "l_extendedprice"), 6).alias("qp_corr"),
+        dround(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("qp_covar"),
+        dround(F.stddev_pop("l_quantity"), 6).alias("q_stddev"),
+        dround(F.var_pop("l_extendedprice"), 2).alias("p_var"),
+    )
