@@ -249,7 +249,13 @@ def run_incremental_wordcount(
     """
     from mapreduce_docker_spark.operators.wordcount import word_counts
 
-    lines = spark.readStream.format("text").load(text_dir)
+    # maxFilesPerTrigger = the reference's MAX_INFLIGHT backpressure knob
+    # (coordinator.py:12): bounds how much input one micro-batch ingests
+    lines = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 2)
+        .load(text_dir)
+    )
 
     def sink(batch_df, epoch_id: int) -> None:
         (
