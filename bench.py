@@ -95,7 +95,7 @@ def _text_throughput(spark) -> dict:
     from mapreduce_docker_spark.operators.wordcount import word_counts
     from mapreduce_docker_spark.sources.text import read_text_corpus
 
-    corpus = os.path.join(tempfile.gettempdir(), "spark_graft_textbench")
+    corpus = os.path.join(tempfile.gettempdir(), f"spark_graft_textbench_{TEXT_CORPUS_MB}mb")
     n_bytes = _ensure_text_corpus(corpus, TEXT_CORPUS_MB)
     df = word_counts(read_text_corpus(spark, corpus + "/*.txt"), "value")
     t0 = time.perf_counter()
