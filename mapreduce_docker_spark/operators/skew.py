@@ -86,6 +86,9 @@ def salted_join(
     to broadcast but n_salt copies still fit the shuffle; otherwise
     ``F.broadcast`` is strictly better.
     """
+    if how not in ("inner", "left"):
+        # right/full would duplicate unmatched small-side rows n_salt times
+        raise ValueError(f"salted_join supports inner/left, not {how!r}")
     b = big.withColumn("_salt", salt_column(F.col(salt_from), n_salt))
     s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<bigint>"))
