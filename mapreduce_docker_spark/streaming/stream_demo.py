@@ -272,3 +272,36 @@ def run_incremental_wordcount(
         .start()
     )
     q.awaitTermination()
+
+
+def run_session_window_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "session_stream"
+) -> DataFrame:
+    """Streaming session windows: per-user sessions with a 5-min gap.
+
+    The streaming form of events_session_5m: session_window state merges
+    overlapping [ts, ts+gap) intervals per key across micro-batches, and
+    the watermark bounds how long an open session can wait for more events
+    before it finalizes — unbounded-input sessionization with finite state.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

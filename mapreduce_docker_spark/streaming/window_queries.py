@@ -202,3 +202,15 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_docker_spark.streaming.stream_demo import run_stream_stream_join
 
     return run_stream_stream_join(spark, sf_dir, query_name=f"ssj_{uuid.uuid4().hex[:8]}")
+
+
+@register(
+    "streaming_session_windows",
+    None,  # session-merge state + watermark finalization are streaming-only
+    section="ST5,ST6,ST7",
+    note="streaming session windows (5-min gap, 30-min watermark): stateful interval merge per user; batch twin events_session_5m carries the SQL oracle",
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_docker_spark.streaming.stream_demo import run_session_window_stream
+
+    return run_session_window_stream(spark, sf_dir, query_name=f"ssw_{uuid.uuid4().hex[:8]}")

@@ -115,3 +115,20 @@ def test_incremental_ingest_processes_only_new_files(spark, tmp_path):
     }
     # and the delta arrived as new epoch rows, not a rewrite
     assert spark.read.parquet(out).count() > n_first
+
+
+def test_streaming_session_windows_match_batch(spark):
+    from pyspark.sql import functions as F
+
+    from mapreduce_docker_spark.registry import all_specs
+    from mapreduce_docker_spark.streaming.stream_demo import run_session_window_stream
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in run_session_window_stream(spark, SF_SMOKE, "ssw_parity").collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in all_specs()["events_session_5m"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == want
