@@ -68,3 +68,24 @@ def total_tokens(counts: DataFrame) -> DataFrame:
 def wordcount_pipeline(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
     """End-to-end flagship: counts -> ranked top-k."""
     return top_k(word_counts(df, text_col), k)
+
+
+def word_counts_observed(df: DataFrame, text_col: str = "text"):
+    """(counts_df, observation): flagship plan instrumented with metrics.
+
+    The reference tracks dispatched-chunk and per-chunk token counts as
+    driver-side counters (SURVEY §2 A6; coordinator.py:86,99,106,
+    worker.py:16). Spark's ``observe`` attaches named aggregates to a plan
+    edge and reports them with task completion — no extra job, no driver
+    funnel. Read ``observation.get`` AFTER an action has run the plan.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("wordcount_ingest")
+    tokens_per_row = F.size(tokens(text_col))
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum(tokens_per_row).alias("tokens_mapped"),
+    )
+    return word_counts(observed, text_col), obs

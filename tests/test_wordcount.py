@@ -152,3 +152,14 @@ def test_format_topk_golden():
         "   3. a                  7",
     ]
     assert format_topk([]) == "(empty)"
+
+
+def test_observed_metrics_match_data(spark):
+    """observe() reports the reference's A6 counters from the same job."""
+    lines = ["hello world hello python world", "one two", ""]
+    df = spark.createDataFrame([(s,) for s in lines], "text string")
+    counts, obs = wc.word_counts_observed(df, "text")
+    total = counts.agg(F.sum("cnt")).collect()[0][0]
+    got = obs.get
+    assert got["rows_scanned"] == 3
+    assert got["tokens_mapped"] == total == 7
