@@ -108,6 +108,57 @@ def _text_throughput(spark) -> dict:
     }
 
 
+def _dedup_scaling_probe(spark) -> dict:
+    """MinHash-LSH dedup cost at 1x/4x/16x corpus replicas.
+
+    The scaling claim behind the dedup design (COVERAGE U2): signature
+    computation is linear map work and candidate generation is bounded by
+    bucket sizes, so doubling the corpus should ~double the cost — unlike
+    the quadratic brute-force pair scan. Each replica perturbs doc_id and
+    prepends a replica token so replicas neither collapse into exact dups
+    nor inflate any single LSH bucket past its cap.
+    """
+    from pyspark.sql import functions as F
+
+    from mapreduce_docker_spark.functions import texthash as th
+    from mapreduce_docker_spark.functions.tokenize import tokens
+    from mapreduce_docker_spark.sources.catalog import load_table
+
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    out = {}
+    # first loop iteration is an untimed shape warm-up (codegen compile),
+    # then the timed multiples run against hot generated code
+    for mult in (1, 1, 4, 16):
+        reps = F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("rep")
+        docs = base.select("doc_id", "text", reps).select(
+            (F.col("doc_id") * mult + F.col("rep")).alias("doc_id"),
+            F.concat(F.lit("rep"), F.col("rep"), F.lit(" v"), F.col("rep"),
+                     F.lit(" "), F.col("text")).alias("text"),
+        ).repartition(spark.sparkContext.defaultParallelism)
+        ex = docs.select(
+            "doc_id", F.explode(th.shingles(tokens("text"))).alias("s")
+        ).select("doc_id", th.shingle_hash(F.col("s")).alias("h"))
+        sig = ex.groupBy("doc_id").agg(
+            *[e.alias(f"s{i}") for i, e in enumerate(th.minhash_min_exprs(F.col("h")))]
+        )
+        bands = sig.select(
+            "doc_id",
+            F.posexplode(
+                F.array(*th.band_signature_exprs([F.col(f"s{i}") for i in range(th.NUM_HASHES)]))
+            ).alias("band_idx", "band_sig"),
+        )
+        buckets = (
+            bands.groupBy("band_idx", "band_sig")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+        )
+        t0 = time.perf_counter()
+        buckets.write.format("noop").mode("overwrite").save()
+        # the first x1 pass is the untimed warm-up; later passes overwrite
+        out[f"x{mult}"] = round(time.perf_counter() - t0, 3)
+    return out
+
+
 def main() -> None:
     specs = all_specs()
     spark = get_spark(app_name="bench")
@@ -137,6 +188,7 @@ def main() -> None:
                 timings[name] = min(el, timings.get(name, el))
 
         text = _text_throughput(spark)
+        dedup_scaling = _dedup_scaling_probe(spark)
 
         sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
         try:
@@ -152,6 +204,7 @@ def main() -> None:
                     "queries": timings,
                     "sf": sf_val,
                     "text_corpus_wordcount": text,
+                    "dedup_lsh_scaling": dedup_scaling,
                 }
             )
         )
