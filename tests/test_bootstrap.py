@@ -1,0 +1,61 @@
+"""Corpus bootstrap parity (S1-S3): fetch/unzip/glob via file:// URLs."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+from mapreduce_docker_spark.operators import wordcount as wc
+from mapreduce_docker_spark.sources.bootstrap import fetch_corpus
+from mapreduce_docker_spark.sources.text import read_text_corpus
+
+
+def _make_zip(path, members: dict[str, str]) -> str:
+    with zipfile.ZipFile(path, "w") as zf:
+        for name, text in members.items():
+            zf.writestr(name, text)
+    return f"file://{path}"
+
+
+def test_fetch_unzips_and_sorts(tmp_path):
+    url = _make_zip(
+        str(tmp_path / "corpus.zip"),
+        {"b.txt": "beta gamma\n", "sub/a.txt": "alpha alpha\n"},
+    )
+    dest = str(tmp_path / "txt")
+    files = fetch_corpus(url, dest)
+    assert [os.path.basename(f) for f in files] == ["a.txt", "b.txt"]
+    assert not os.path.exists(os.path.join(dest, "corpus.zip")), "archive removed"
+
+
+def test_fetch_is_idempotent(tmp_path):
+    url = _make_zip(str(tmp_path / "c.zip"), {"x.txt": "one two\n"})
+    dest = str(tmp_path / "txt")
+    first = fetch_corpus(url, dest)
+    os.remove(str(tmp_path / "c.zip"))  # fetch again must not need the source
+    assert fetch_corpus(url, dest) == first
+
+
+def test_plain_file_url(tmp_path):
+    src = tmp_path / "plain.txt"
+    src.write_text("hello world hello\n")
+    files = fetch_corpus(f"file://{src}", str(tmp_path / "txt"))
+    assert [os.path.basename(f) for f in files] == ["plain.txt"]
+
+
+def test_bootstrap_feeds_the_flagship(spark, tmp_path):
+    """S1-S3 -> S4 -> the full reference pipeline, end to end."""
+    url = _make_zip(
+        str(tmp_path / "corpus.zip"),
+        {
+            "a.txt": "The quick brown fox jumps over the lazy dog.\n",
+            "b.txt": "The dog was really lazy, but the fox was quick!\n",
+        },
+    )
+    dest = str(tmp_path / "txt")
+    fetch_corpus(url, dest)
+    counts = {
+        (r["word"], r["cnt"])
+        for r in wc.word_counts(read_text_corpus(spark, dest), "value").collect()
+    }
+    assert ("the", 4) in counts and ("fox", 2) in counts
