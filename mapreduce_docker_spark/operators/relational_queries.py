@@ -1534,3 +1534,40 @@ def agg_stats_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.stddev_pop("l_quantity"), 6).alias("q_stddev"),
         dround(F.var_pop("l_extendedprice"), 2).alias("p_var"),
     )
+
+
+@register(
+    "map_hof_event_props",
+    """
+    WITH k AS (
+      SELECT event_id, unnest(json_keys(props)) AS mk, props FROM events
+    ),
+    entries AS (
+      SELECT event_id, upper(mk) AS mk,
+             CAST(json_extract(props, '$.' || mk) AS INTEGER) * 2 AS mv
+      FROM k
+    )
+    SELECT event_id,
+           count(*)                                   AS n_keys,
+           CAST(sum(mv) AS BIGINT)                    AS doubled_sum,
+           CAST(sum(CASE WHEN mv > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_large
+    FROM entries GROUP BY event_id
+    """,
+    section="F:map",
+    note="map higher-order functions: transform_keys/transform_values/map_filter over the parsed props map, folded to per-event scalars",
+)
+def map_hof_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,int>")
+    doubled = F.transform_values(
+        F.transform_keys(m, lambda k, _: F.upper(k)), lambda _, v: v * 2
+    )
+    large = F.map_filter(doubled, lambda _, v: v > 100)
+    return events.select(
+        "event_id",
+        F.size(doubled).alias("n_keys"),
+        F.aggregate(
+            F.map_values(doubled), F.lit(0).cast("long"), lambda a, b: a + b
+        ).alias("doubled_sum"),
+        F.size(large).cast("long").alias("n_large"),
+    )
