@@ -1571,3 +1571,17 @@ def map_hof_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("doubled_sum"),
         F.size(large).cast("long").alias("n_large"),
     )
+
+
+@register(
+    "agg_approx_percentiles",
+    None,  # sketch output is engine-internal; pinned against exact in tests
+    section="A7,A4",
+    note="approx_percentile sketch (accuracy 10000) beside the exact percentile — the single-pass bounded-memory quantile for 100 TB; tolerance asserted in tests/test_sketches.py",
+)
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        dround(F.percentile_approx("o_totalprice", 0.5, 10000), 2).alias("approx_median"),
+        dround(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("exact_median"),
+    )
