@@ -389,3 +389,56 @@ def text_ml_pipeline_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(arr, F.lit(0.0), lambda a, b: a + b), 4
         ).alias("tfidf_mass"),
     )
+
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+@register(
+    "text_chunk_windows",
+    f"""
+    WITH d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0,
+               CAST(floor(greatest(len(toks) - {CHUNK_TOKENS}, 0) / {CHUNK_STRIDE}.0)
+                    AS INTEGER))) AS chunk_idx
+      FROM d WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           array_to_string(toks[chunk_idx * {CHUNK_STRIDE} + 1 :
+                                chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ') AS chunk_text,
+           CAST(least(len(toks) - chunk_idx * {CHUNK_STRIDE}, {CHUNK_TOKENS}) AS INTEGER)
+             AS n_tokens
+    FROM idx
+    """,
+    section="U4,U6",
+    note=f"LLM-prep document chunking: {CHUNK_TOKENS}-token windows, stride {CHUNK_STRIDE} (overlap {CHUNK_TOKENS - CHUNK_STRIDE}); pure slice arithmetic, no Python — every doc yields ceil((len-W)/S)+1 chunks, final chunk ragged",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = tokens("text")
+    d = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n")).filter(
+        F.col("n") > 0
+    )
+    n_chunks = F.floor(
+        F.greatest(F.col("n") - F.lit(CHUNK_TOKENS), F.lit(0))
+        / F.lit(float(CHUNK_STRIDE))
+    ).cast("int")
+    idx = d.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(F.sequence(F.lit(0), n_chunks)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * CHUNK_STRIDE
+    return idx.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", F.slice(F.col("toks"), start + 1, CHUNK_TOKENS)).alias(
+            "chunk_text"
+        ),
+        F.least(F.col("n") - start, F.lit(CHUNK_TOKENS)).cast("int").alias("n_tokens"),
+    )
