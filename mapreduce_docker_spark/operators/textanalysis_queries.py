@@ -442,3 +442,81 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.least(F.col("n") - start, F.lit(CHUNK_TOKENS)).cast("int").alias("n_tokens"),
     )
+
+
+# regex subset that Java (Spark) and RE2 (DuckDB) interpret identically:
+# no lookaround, no backrefs, character classes + quantifiers only
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PII_DIGITS = "[0-9]{6,}"
+
+
+@register(
+    "text_pii_scrub",
+    f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(lower(text), '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{_PII_DIGITS}', '<NUM>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(lower(text), '{_PII_EMAIL}'))
+              + len(regexp_extract_all(lower(text), '{_PII_DIGITS}')) AS INTEGER)
+             AS n_redactions
+    FROM documents
+    """,
+    section="U4,P5",
+    note="PII scrubbing (curation op): email + long-digit-run redaction via regexp_replace; patterns kept in the Java-regex/RE2 common subset so the oracle matches byte-for-byte",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    low = F.lower(F.col("text"))
+    clean = F.regexp_replace(
+        F.regexp_replace(low, _PII_EMAIL, "<EMAIL>"), _PII_DIGITS, "<NUM>"
+    )
+    n_red = (
+        F.size(F.regexp_extract_all(low, F.lit(_PII_EMAIL), 0))
+        + F.size(F.regexp_extract_all(low, F.lit(_PII_DIGITS), 0))
+    ).cast("int")
+    return d.select("doc_id", clean.alias("clean_text"), n_red.alias("n_redactions"))
+
+
+REPETITION_MAX_RATIO = 0.3
+
+
+@register(
+    "text_repetition_filter",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents
+    ),
+    freq AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+    stats AS (
+      SELECT doc_id,
+             CAST(max(c) AS BIGINT) AS top_token_count,
+             CAST(sum(c) AS BIGINT) AS total_tokens,
+             {rsql("max(c) / CAST(sum(c) AS DOUBLE)", 4)} AS top_token_ratio
+      FROM freq GROUP BY doc_id
+    )
+    SELECT doc_id, top_token_count, total_tokens, top_token_ratio,
+           (top_token_ratio <= {REPETITION_MAX_RATIO}) AS keep
+    FROM stats
+    """,
+    section="U4,U1",
+    note=f"Gopher-style repetition filter: most-frequent-token mass ratio, keep iff <= {REPETITION_MAX_RATIO}; two codegen aggs (doc,word)->doc, no Python",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    freq = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(tokens("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = freq.groupBy("doc_id").agg(
+        F.max("c").alias("top_token_count"),
+        F.sum("c").alias("total_tokens"),
+        dround(F.max("c") / F.sum("c").cast("double"), 4).alias("top_token_ratio"),
+    )
+    return stats.select(
+        "doc_id",
+        "top_token_count",
+        "total_tokens",
+        "top_token_ratio",
+        (F.col("top_token_ratio") <= REPETITION_MAX_RATIO).alias("keep"),
+    )
