@@ -1585,3 +1585,37 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.percentile_approx("o_totalprice", 0.5, 10000), 2).alias("approx_median"),
         dround(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("exact_median"),
     )
+
+
+@register(
+    "q10_returned_item_losses",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           floor(sum(l.l_extendedprice * (1.0 - l.l_discount)) * 100.0 + 0.5) / 100.0
+             AS lost_revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY lost_revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+    section="J1,J2,A7,T1",
+    note="TPC-H Q10 shape: revenue lost to returns per customer, 4-way join + agg + deterministic top-20",
+)
+def q10_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, li, nation = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation"
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, orders["o_orderkey"] == li["l_orderkey"])
+        .join(cust, cust["c_custkey"] == orders["o_custkey"])
+        .join(F.broadcast(nation), nation["n_nationkey"] == cust["c_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dround(F.sum(_revenue()), 2).alias("lost_revenue"))
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
