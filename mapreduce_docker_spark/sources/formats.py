@@ -57,3 +57,14 @@ def write_ndjson(df: DataFrame, path: str) -> StructType:
 
 def read_ndjson(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
     return spark.read.schema(schema).option("timestampFormat", _TS_FMT).json(path)
+
+
+def write_orc(df: DataFrame, path: str) -> StructType:
+    """Write ORC (the columnar alternative Spark ships natively besides
+    parquet); returns the read-back schema."""
+    df.write.mode("overwrite").orc(path)
+    return df.schema
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

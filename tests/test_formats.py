@@ -30,3 +30,29 @@ def test_ndjson_roundtrip(spark, tmp_path):
     back = fmt.read_ndjson(spark, out, schema)
     assert back.schema == ev.schema
     assert _rows(back) == _rows(ev)
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    li = load_table(spark, SF, "lineitem").limit(5000)
+    out = os.path.join(str(tmp_path), "lineitem_orc")
+    fmt.write_orc(li, out)
+    back = fmt.read_orc(spark, out)
+    assert back.schema == li.schema
+    assert _rows(back) == _rows(li)
+
+
+def test_gzip_text_reads_natively(spark, tmp_path):
+    """Reference S2 note: Spark reads .gz text transparently (no unzip step)."""
+    import gzip
+
+    from mapreduce_docker_spark.operators import wordcount as wc
+    from mapreduce_docker_spark.sources.text import read_text_corpus
+
+    p = tmp_path / "corpus.txt.gz"
+    with gzip.open(p, "wt") as fh:
+        fh.write("alpha beta alpha\nbeta beta gamma\n")
+    counts = {
+        (r["word"], r["cnt"])
+        for r in wc.word_counts(read_text_corpus(spark, str(p)), "value").collect()
+    }
+    assert counts == {("alpha", 2), ("beta", 3), ("gamma", 1)}
