@@ -305,3 +305,37 @@ def run_session_window_stream(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_late_data_demo(
+    spark: SparkSession, src_dir: str, query_name: str = "late_demo"
+) -> DataFrame:
+    """Watermark late-data semantics on a controlled two-batch file stream.
+
+    One file per micro-batch (maxFilesPerTrigger=1): batch 1 advances the
+    watermark; an event in batch 2 older than (max seen - delay) is DROPPED
+    before aggregation — the bounded-state guarantee that makes event-time
+    aggregation feasible on unbounded input. Append mode emits only
+    watermark-finalized windows.
+    """
+    schema = "event_id long, ts timestamp, user_id long"
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src_dir)
+    )
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

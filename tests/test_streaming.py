@@ -132,3 +132,58 @@ def test_streaming_session_windows_match_batch(spark):
         for r in all_specs()["events_session_5m"].fn(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """An event older than the advanced watermark never reaches the output."""
+    import json as _json
+    import os
+    import time as _time
+
+    src = tmp_path / "late_src"
+    os.makedirs(src)
+
+    def write_batch(name, events, mtime):
+        p = src / name
+        p.write_text("\n".join(_json.dumps(e) for e in events) + "\n")
+        os.utime(p, (mtime, mtime))
+
+    # batch 1: events at 10:00/10:05 -> watermark 09:55 becomes active one
+    # batch later (watermark activation lags a batch — an event late w.r.t.
+    # a watermark computed in its OWN batch still gets in)
+    write_batch(
+        "b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01T10:00:00.000Z", "user_id": 1},
+            {"event_id": 2, "ts": "2024-01-01T10:05:00.000Z", "user_id": 1},
+        ],
+        mtime=_time.time() - 100,
+    )
+    # batch 2: on-time event, watermark 09:55 now active
+    write_batch(
+        "b2.json",
+        [{"event_id": 3, "ts": "2024-01-01T10:07:00.000Z", "user_id": 1}],
+        mtime=_time.time() - 70,
+    )
+    # batch 3: a VERY late event (08:00 << active watermark) must be
+    # DROPPED; 10:20 advances the watermark to 10:10, finalizing the
+    # [10:00, 10:10) window for append-mode emission
+    write_batch(
+        "b3.json",
+        [
+            {"event_id": 4, "ts": "2024-01-01T08:00:00.000Z", "user_id": 1},
+            {"event_id": 5, "ts": "2024-01-01T10:20:00.000Z", "user_id": 1},
+        ],
+        mtime=_time.time() - 40,
+    )
+
+    from mapreduce_docker_spark.streaming.stream_demo import run_late_data_demo
+
+    out = run_late_data_demo(spark, str(src), "late_demo_test")
+    rows = {r["window_start"].strftime("%H:%M"): r["n_events"] for r in out.collect()}
+    # the 08:00 window would only exist if the late event had been accepted
+    assert "08:00" not in rows, rows
+    # the finalized on-time window emitted WITHOUT the late event
+    assert rows.get("10:00") == 3, rows
+    # the 10:20 window is not yet past the final watermark -> not emitted
+    assert "10:20" not in rows, rows
