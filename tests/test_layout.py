@@ -71,3 +71,38 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS cust_b")
+
+
+def test_repartition_by_range_gives_disjoint_files(spark, tmp_path):
+    """Range-partitioned layout: per-file key ranges are disjoint.
+
+    The time-series/sorted-layout lever: repartitionByRange + sortWithinPartitions
+    writes files whose min/max key ranges do not overlap, so a range predicate
+    prunes to O(1) files via parquet row-group stats — the complement of
+    hash bucketing (equi-join co-location) tested above.
+    """
+    import pyarrow.parquet as pq
+
+    orders = load_table(spark, SF, "orders")
+    out = os.path.join(str(tmp_path), "orders_ranged")
+    (
+        orders.repartitionByRange(4, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    ranges = []
+    for f in os.listdir(out):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, f)).metadata
+        cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        i = cols["o_orderdate"]
+        stats = md.row_group(0).column(i).statistics
+        ranges.append((stats.min, stats.max))
+    assert len(ranges) == 4
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b, f"overlapping file ranges: {(lo_a, hi_a)} vs {(lo_b, hi_b)}"
+    # and the layout is value-preserving
+    assert spark.read.parquet(out).count() == orders.count()
