@@ -1619,3 +1619,39 @@ def q10_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "q19_discounted_revenue",
+    """
+    SELECT floor(sum(l.l_extendedprice * (1.0 - l.l_discount)) * 100.0 + 0.5) / 100.0
+             AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 1  AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity >= 10 AND l.l_quantity <= 40)
+       OR (p.p_brand = 'Brand#33' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity >= 20 AND l.l_quantity <= 50)
+    """,
+    section="J1,P5,A7",
+    note="TPC-H Q19 shape: OR-of-conjunctions across both join sides — Catalyst pushes the common single-side disjuncts (brand/size to part, quantity to lineitem) below the join",
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    j = li.join(part, part["p_partkey"] == li["l_partkey"])
+    band = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 40)
+        )
+        | (
+            (F.col("p_brand") == "Brand#33")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return j.filter(band).agg(dround(F.sum(_revenue()), 2).alias("revenue"))
