@@ -1110,7 +1110,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_interface_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_docker_spark.sources.catalog import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("lineitem", "orders", "customer", "nation"))
     # note the D suffixes: Spark SQL parses bare 100.0 as DECIMAL (the
     # DataFrame API's lit(100.0) is DOUBLE) and decimal arithmetic would
     # change both the result type and the rounding value

@@ -47,6 +47,12 @@ def register(
     return deco
 
 
+# Modules skipped by _load_all because a genuinely-optional third-party
+# dependency (pandas/pyarrow) was absent — inspect this instead of guessing
+# why a query family is missing from queries().
+SKIPPED_MODULES: dict[str, str] = {}
+
+
 def _load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     import mapreduce_docker_spark.operators.wordcount_queries  # noqa: F401
@@ -60,21 +66,108 @@ def _load_all() -> None:
         "asof",
         "udf",
     ):
+        fq = f"mapreduce_docker_spark.operators.{mod}_queries"
         try:
-            __import__(f"mapreduce_docker_spark.operators.{mod}_queries")
-        except ImportError:
-            pass
+            __import__(fq)
+        except ImportError as e:
+            # only an absent THIRD-PARTY dep is a legitimate skip; a broken
+            # import of our own code must fail loudly, not silently drop a
+            # whole query family from the driver contract
+            if (e.name or "").startswith("mapreduce_docker_spark"):
+                raise
+            SKIPPED_MODULES[fq] = f"{e.name}: {e}"
     import mapreduce_docker_spark.operators.skew  # noqa: F401
 
     try:
         import mapreduce_docker_spark.streaming.window_queries  # noqa: F401
-    except ImportError:
-        pass
+    except ImportError as e:
+        if (e.name or "").startswith("mapreduce_docker_spark"):
+            raise
+        SKIPPED_MODULES["mapreduce_docker_spark.streaming.window_queries"] = str(e)
+
+
+# The driver verifies the FIRST 50 entries of queries() in iteration order
+# against the DuckDB oracle; round 1 spent the whole window on wordcount +
+# relational and left dedup/similarity/text/multimodal/udf/streaming with no
+# driver verdict. This window hand-picks 50 queries so every SURVEY §2
+# family lands at least one oracle-carrying entry inside the checked prefix;
+# everything else follows in registration order.
+_PRIORITY_WINDOW = (
+    # P1-P3 / A1-A5 / T1 (wordcount core)
+    "wordcount",
+    "wordcount_top20",
+    "wordcount_unique",
+    # A7 / J1 / J2 / P5 canaries (TPC-H shapes, green in round 1)
+    "q1_pricing_summary",
+    "q5_local_supplier",
+    "q18_large_orders",
+    # J1-J4 joins
+    "join_semi_urgent_customers",
+    "join_theta_acctbal_band",
+    "join_full_outer_balances",
+    # A4/A7 aggregates (driver-unverified in round 1)
+    "agg_percentiles_by_segment",
+    "agg_pivot_status_by_segment",
+    "agg_unpivot_balances",
+    "agg_stats_quantity_price",
+    "agg_collect_order_keys",
+    "agg_approx_distinct_users",
+    "skew_salted_user_value_sums",
+    # windows
+    "window_event_gaps",
+    "window_distribution_ranks",
+    "window_running_spend",
+    # scalar function families
+    "scalar_datetime_events",
+    "scalar_interval_orders",
+    "json_event_props",
+    "json_map_entries",
+    "map_hof_event_props",
+    "array_embedding_stats",
+    "array_hof_embeddings",
+    # SQL-string interface + sampling
+    "sql_interface_revenue_by_nation",
+    "sample_events_bernoulli",
+    # U4 text analysis
+    "text_token_stats",
+    "text_tfidf_top_term",
+    "text_langid_nb",
+    "text_pii_scrub",
+    # U1/U2 dedup
+    "dedup_exact_groups",
+    "dedup_exact_survivors",
+    "dedup_minhash_pairs",
+    "dedup_minhash_survivors",
+    "dedup_simhash",
+    # U3 similarity
+    "sim_cosine_topk",
+    "sim_ann_srp",
+    "sim_ann_ivf",
+    # U5 multimodal
+    "multimodal_meta_by_source",
+    "multimodal_features",
+    # J4 as-of / range
+    "asof_purchase_prior_view",
+    "range_join_events_in_order_window",
+    # U6 UDF surface
+    "udf_pandas_saturation",
+    "udf_applyinpandas_zscore",
+    "udf_udtf_bigrams",
+    "udf_cogroup_user_conversion",
+    # ST5/ST7 event-time windows
+    "events_tumbling_10m",
+    "events_session_5m",
+)
 
 
 def all_specs() -> dict[str, QuerySpec]:
     _load_all()
-    return dict(_REGISTRY)
+    missing = [n for n in _PRIORITY_WINDOW if n not in _REGISTRY]
+    if missing:
+        raise RuntimeError(f"priority window references unknown queries: {missing}")
+    ordered = {n: _REGISTRY[n] for n in _PRIORITY_WINDOW}
+    ordered.update((n, s) for n, s in _REGISTRY.items() if n not in ordered)
+    return ordered
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -41,10 +41,76 @@ TABLES = (
 BROADCAST_SAFE = frozenset({"region", "nation"})
 
 
+# Runtime-settable confs the engine needs regardless of who built the
+# SparkSession. The driver contract hands us an EXTERNAL vanilla session
+# (no engine defaults), so relying on session.py's builder confs breaks
+# there: events.parquet is INT64 TIMESTAMP(NANOS) and is unreadable without
+# nanosAsLong, and event-time window bucketing (F.window) is tz-sensitive,
+# so the session tz is pinned to UTC to match the tz-naive DuckDB oracle.
+_RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+# SparkContext application ids that already had the package zip shipped.
+_SHIPPED_APPS: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to Python workers (the ``--py-files`` pattern).
+
+    Functions passed to applyInPandas / mapInPandas / UDTFs that live in
+    this package are pickled BY REFERENCE, so the executor-side Python
+    worker must be able to ``import mapreduce_docker_spark``. When the
+    caller's harness runs from a different cwd (the driver contract makes
+    no promise), the package directory is not on the worker's sys.path —
+    addPyFile distributes a zip and prepends it, exactly what
+    ``spark-submit --py-files`` does on a real cluster.
+    """
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED_APPS:
+        return
+    import tempfile
+    import zipfile
+
+    import mapreduce_docker_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    zpath = os.path.join(tempfile.gettempdir(), f"mds_pkg_{os.getpid()}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for fname in files:
+                    if fname.endswith(".py"):
+                        full = os.path.join(root, fname)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED_APPS.add(app_id)
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Apply engine-required runtime confs to any caller-provided session."""
+    for key, val in _RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(key, None) != val:
+                spark.conf.set(key, val)
+        except Exception:  # pragma: no cover - conf locked down by caller
+            pass  # fall through: the read below gives the real error
+    try:
+        _ship_package(spark)
+    except Exception:  # pragma: no cover - zip/addPyFile denied
+        pass  # workers sharing the driver's cwd still import the package
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalizing physical-type quirks."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    ensure_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ns -> µs truncation via INTEGER division (DIV): float division here
@@ -93,10 +159,19 @@ def scatter(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Load every fixture table and register it as a temp view."""
+def register_views(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] | None = None,
+) -> dict[str, DataFrame]:
+    """Register fixture tables as temp views.
+
+    ``tables=None`` registers all of them; queries that know their input
+    set pass only what they touch, so an unreadable fixture can never fail
+    an unrelated query (failures stay isolated to the table actually used).
+    """
     out = {}
-    for name in TABLES:
+    for name in tables if tables is not None else TABLES:
         df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df

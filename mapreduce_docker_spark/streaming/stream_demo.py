@@ -33,6 +33,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session.py sets nanosAsLong) and is converted to µs exactly as the
     batch catalog does.
     """
+    from mapreduce_docker_spark.sources.catalog import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)  # vanilla-session nanos/tz/py-files setup
     path = f"{sf_dir}/events.parquet"
     # the file stream source requires a DIRECTORY; stage a symlink dir so the
     # read-only fixture file can be streamed without copying data

@@ -72,6 +72,21 @@ def test_semi_anti_join_shapes(spark, specs):
     assert "LeftAnti" in anti
 
 
+def test_minhash_pipeline_single_documents_scan(spark, specs):
+    """The LSH pipeline must tokenize+shingle `documents` exactly ONCE.
+
+    Round 1's plan re-scanned and re-tokenized documents 3x (signature pass
+    + both verification join sides); at corpus scale tokenize+shingle+md5 is
+    the dominant map cost, so the re-scan count is a scale property worth
+    locking in, not a micro-optimization (VERDICT.md r1, Performance).
+    """
+    pairs = _plan(spark, specs, "dedup_minhash_pairs")
+    assert pairs.count("documents.parquet") == 1, pairs
+    # survivors adds only the doc_id-pruned anti-join base scan
+    survivors = _plan(spark, specs, "dedup_minhash_survivors")
+    assert survivors.count("documents.parquet") == 2, survivors
+
+
 def test_no_python_udf_in_sql_oracle_paths(spark, specs):
     """Queries with SQL oracles must stay JVM-side except the declared
     Arrow-batched UDF demos (udf_*, multimodal_*)."""
