@@ -71,9 +71,9 @@ def test_ann_beats_random_candidate_baseline(spark, ann_name):
 
         scan_fraction = 1.5 / (2**SRP_BITS)  # skewed sign-buckets allowance
     else:
-        from mapreduce_docker_spark.operators.similarity_queries import IVF_NPROBE
+        from mapreduce_docker_spark.operators.similarity_queries import IVF_K, IVF_NPROBE
 
-        scan_fraction = IVF_NPROBE / 10  # 10 label cells, balanced by construction
+        scan_fraction = IVF_NPROBE / IVF_K  # k-means cells, roughly balanced
 
     assert recall >= 1.5 * scan_fraction, (
         f"{ann_name}: recall@{K}={recall:.3f} does not beat the random-subset "
