@@ -143,6 +143,9 @@ _SQL_SIG_CTE = f"""
              {_SQL_SIG_MINS}
       FROM ex GROUP BY doc_id
     ),
+    hs AS (
+      SELECT doc_id, list_distinct(list(h)) AS hs FROM ex GROUP BY doc_id
+    ),
     bands AS (
       SELECT s.doc_id, i.i AS band_idx, ({_SQL_BAND_LIST})[i.i] AS band_sig
       FROM sig s, (SELECT unnest(generate_series(1, {th.BANDS})) AS i) i
@@ -174,26 +177,29 @@ def _sig_cols_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sig_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh, s0..s15) from ONE ``documents`` scan.
+def _sig_with_hashset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hs, s0..s15) from ONE ``documents`` scan.
 
-    The shingle array rides the signature aggregation as ``first(sh)``:
-    explode is narrow, so the map-side partial agg already reduces each doc
-    to one row (16 longs + its own sh) before the shuffle — the shuffle
-    volume is the same as shuffling (doc_id, sh) itself. This is what lets
-    the verification step reuse the shingles instead of re-scanning and
-    re-tokenizing ``documents`` per join side (tokenize+shingle+md5 is the
-    dominant map cost at corpus scale, so recomputing it 3-4x was round 1's
-    one named scale-killer — VERDICT.md r1, Performance).
+    ``hs`` is the doc's DISTINCT 31-bit shingle-hash set — the exact values
+    the MinHash mins are taken over — collected by the same partial agg that
+    computes the signature. Verification then measures Jaccard over ``hs``
+    instead of the raw shingle strings: identical on both engines by
+    construction (both compute the same md5-affine hash), and the payload
+    that has to move through the band-bucket shuffle is an int array ~4-8x
+    smaller than the shingle text. This is what lets verification reuse one
+    scan instead of re-scanning and re-tokenizing ``documents`` per join
+    side (tokenize+shingle+md5 is the dominant map cost at corpus scale, so
+    recomputing it 3-4x was round 1's one named scale-killer — VERDICT.md
+    r1, Performance); carrying the raw shingle arrays instead (round 2's
+    first attempt) made the bucket shuffle itself the bottleneck.
     """
-    base = scatter(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", th.shingles(tokens("text")).alias("sh")
-    )
-    ex = base.select("doc_id", "sh", F.explode("sh").alias("s")).select(
-        "doc_id", "sh", th.shingle_hash(F.col("s")).alias("h")
+    ex = (
+        scatter(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", F.explode(th.shingles(tokens("text"))).alias("s"))
+        .select("doc_id", th.shingle_hash(F.col("s")).alias("h"))
     )
     return ex.groupBy("doc_id").agg(
-        F.first("sh").alias("sh"),
+        F.collect_set("h").alias("hs"),
         *[e.alias(c) for c, e in zip(_SIG_COLS, th.minhash_min_exprs(F.col("h")))],
     )
 
@@ -222,10 +228,10 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     + f""",
     verified AS (
       SELECT c.doc_a, c.doc_b,
-             {rsql(_sql_jaccard('da.sh', 'db.sh'), 4)} AS jaccard
+             {rsql(_sql_jaccard('da.hs', 'db.hs'), 4)} AS jaccard
       FROM cand c
-      JOIN d da ON da.doc_id = c.doc_a
-      JOIN d db ON db.doc_id = c.doc_b
+      JOIN hs da ON da.doc_id = c.doc_a
+      JOIN hs db ON db.doc_id = c.doc_b
     )
     SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
     """,
@@ -233,16 +239,16 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     note=f"LSH candidate generation ({th.BANDS} bands x {th.ROWS_PER_BAND} rows) + exact shingle-Jaccard verification at {JACCARD_THRESHOLD}",
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Single-pass LSH: signatures AND shingles come out of one scan; band
-    # buckets collect (doc_id, sh) structs so in-bucket pair emission can
-    # verify exact Jaccard inline — no join back to documents at all. The
-    # same pair can surface from up to BANDS buckets; jaccard is
+    # Single-pass LSH: signatures AND the hashed shingle set come out of one
+    # scan; band buckets collect (doc_id, hs) structs so in-bucket pair
+    # emission can verify exact Jaccard inline — no join back to documents
+    # at all. The same pair can surface from up to BANDS buckets; jaccard is
     # deterministic per pair, so a post-filter distinct (on small rows — the
-    # shingle arrays are already dropped) collapses the duplicates exactly
-    # as the oracle's DISTINCT candidate CTE does.
-    sig = _sig_with_shingles(spark, sf_dir)
+    # hash arrays are already dropped) collapses the duplicates exactly as
+    # the oracle's DISTINCT candidate CTE does.
+    sig = _sig_with_hashset(spark, sf_dir)
     bands = sig.select(
-        F.struct("doc_id", "sh").alias("doc"),
+        F.struct("doc_id", "hs").alias("doc"),
         F.posexplode(
             F.array(*th.band_signature_exprs([F.col(c) for c in _SIG_COLS]))
         ).alias("band_idx", "band_sig"),
@@ -259,7 +265,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            dround(_jaccard(F.col("a.sh"), F.col("b.sh")), 4).alias("jaccard"),
+            dround(_jaccard(F.col("a.hs"), F.col("b.hs")), 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .distinct()
@@ -272,8 +278,8 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     + f""",
     dropped AS (
       SELECT DISTINCT c.doc_b
-      FROM cand c JOIN d da ON da.doc_id = c.doc_a JOIN d db ON db.doc_id = c.doc_b
-      WHERE {rsql(_sql_jaccard('da.sh', 'db.sh'), 4)} >= {JACCARD_THRESHOLD}
+      FROM cand c JOIN hs da ON da.doc_id = c.doc_a JOIN hs db ON db.doc_id = c.doc_b
+      WHERE {rsql(_sql_jaccard('da.hs', 'db.hs'), 4)} >= {JACCARD_THRESHOLD}
     )
     SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_b FROM dropped)
     """,
@@ -534,8 +540,8 @@ def dedup_cluster_labels(pairs: DataFrame, all_ids: DataFrame) -> DataFrame:
     + f""",
     verified AS (
       SELECT c.doc_a, c.doc_b
-      FROM cand c JOIN d da ON da.doc_id = c.doc_a JOIN d db ON db.doc_id = c.doc_b
-      WHERE {rsql(_sql_jaccard('da.sh', 'db.sh'), 4)} >= {JACCARD_THRESHOLD}
+      FROM cand c JOIN hs da ON da.doc_id = c.doc_a JOIN hs db ON db.doc_id = c.doc_b
+      WHERE {rsql(_sql_jaccard('da.hs', 'db.hs'), 4)} >= {JACCARD_THRESHOLD}
     ),
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM verified

@@ -87,6 +87,32 @@ def test_minhash_pipeline_single_documents_scan(spark, specs):
     assert survivors.count("documents.parquet") == 2, survivors
 
 
+def test_scatter_noop_when_scan_already_parallel(spark):
+    """`scatter()` must add NO shuffle when the scan already yields >= cores
+    splits — the production-scale condition (a 100 TB input arrives as ~1e5
+    splits). The repartition is a small-fixture crutch only; if it ever fired
+    on an already-parallel scan it would be a gratuitous full-data shuffle at
+    exactly the scale where shuffles are the bottleneck."""
+    from mapreduce_docker_spark.sources.catalog import load_table, scatter
+
+    df = load_table(spark, SF, "documents")
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # shrink split size so this fixture file estimates >= cores splits,
+        # simulating the production condition without a 100 TB fixture
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1k")
+        out = scatter(df)
+        assert out is df  # identity — not even a no-op plan node
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange RoundRobinPartitioning" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    # and the crutch still fires where it should: a single-row-group fixture
+    # (1 estimated split < cores) gets fanned out to full parallelism
+    plan = scatter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange RoundRobinPartitioning" in plan, plan
+
+
 def test_no_python_udf_in_sql_oracle_paths(spark, specs):
     """Queries with SQL oracles must stay JVM-side except the declared
     Arrow-batched UDF demos (udf_*, multimodal_*)."""
