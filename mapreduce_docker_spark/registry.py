@@ -59,6 +59,7 @@ def _load_all() -> None:
 
     for mod in (
         "relational",
+        "tpch",
         "textanalysis",
         "dedup",
         "similarity",
