@@ -45,6 +45,8 @@ HEADLINE = [
     "asof_purchase_prior_view",     # as-of join (union + window)
     "range_join_events_in_order_window",  # banded range join
     "udf_applyinpandas_zscore",     # Arrow grouped-map UDF
+    "q9_product_type_profit",       # 5-way fact/dim join, profit by nation x year
+    "q21_waiting_suppliers",        # EXISTS + NOT EXISTS semi/anti self-joins
 ]
 
 
