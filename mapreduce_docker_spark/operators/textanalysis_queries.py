@@ -255,12 +255,11 @@ def text_bigrams_top30(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
     tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
-    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
     n AS (SELECT count(*) AS n FROM documents),
     scored AS (
       SELECT tf.doc_id, tf.term,
-             {rsql("tf.tf * ln(n.n / CAST(df.df AS DOUBLE))", 6)} AS tfidf
-      FROM tf JOIN df ON df.term = tf.term CROSS JOIN n
+             {rsql("tf.tf * ln(n.n / CAST(count(*) OVER (PARTITION BY tf.term) AS DOUBLE))", 6)} AS tfidf
+      FROM tf CROSS JOIN n
     )
     SELECT doc_id, term, tfidf FROM (
       SELECT doc_id, term, tfidf,
@@ -275,18 +274,20 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    # document frequency as a window count over the tf relation (tf is one
+    # row per (doc, term), so count-per-term == distinct-doc count): ONE
+    # tokenize pass and no df join. Aggregating `toks` twice would tokenize
+    # the corpus twice — tokenize dominates the map cost at corpus scale,
+    # and Catalyst's column pruning defeats exchange reuse between the two
+    # aggregation branches (it strips the count from the df side).
     n = docs.agg(F.count(F.lit(1)).alias("n"))
-    scored = (
-        tf.join(F.broadcast(df), "term")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "term",
-            dround(F.col("tf") * F.log(F.col("n") / F.col("df").cast("double")), 6).alias(
-                "tfidf"
-            ),
-        )
+    doc_freq = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    scored = tf.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "term",
+        dround(F.col("tf") * F.log(F.col("n") / doc_freq.cast("double")), 6).alias(
+            "tfidf"
+        ),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
