@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udtf
 
+from mapreduce_docker_spark.functions.rounding import dround
+from mapreduce_docker_spark.functions.rounding import sql as rsql
 from mapreduce_docker_spark.registry import register
 from mapreduce_docker_spark.sources.catalog import load_table
 
@@ -64,6 +66,52 @@ def udf_pandas_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id", F.round(_saturation_score()(F.col("text")), 6).alias("saturation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouped-agg pandas UDAF (whole group in as one Series, one scalar out)
+# ---------------------------------------------------------------------------
+
+
+def _geomean_udaf():
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        """Geometric mean: exp(mean(ln v)) over the whole group's Series."""
+        import numpy as np
+
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    return geomean
+
+
+@register(
+    "udf_pandas_udaf_geomean",
+    f"""
+    SELECT o_orderpriority,
+           {rsql('exp(avg(ln(o_totalprice)))', 4)} AS geo_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    section="U6,A7",
+    note="grouped-agg @pandas_udf (true UDAF: Series in, scalar out, usable "
+    "inside groupBy().agg()) — completes the pandas UDF API matrix next to "
+    "the scalar, grouped-map, cogrouped and UDTF entries",
+)
+def udf_pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean of order value per priority class.
+
+    The reference's combiner contract (worker.py:15) only ever reduces with
+    ``+``; a grouped-agg pandas UDF is the general Spark form: Arrow ships
+    the whole group as one Series, the aggregate itself is arbitrary numpy.
+    The scale caveat is inherent to the API (no partial aggregation — every
+    group's values move through the shuffle), so it belongs to groups whose
+    per-key cardinality is bounded; unbounded keys should restructure as
+    expression-level aggs like exp(avg(ln x)) (the oracle's own spelling).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        dround(_geomean_udaf()(F.col("o_totalprice")), 4).alias("geo_price")
     )
 
 

@@ -87,6 +87,34 @@ def test_minhash_pipeline_single_documents_scan(spark, specs):
     assert survivors.count("documents.parquet") == 2, survivors
 
 
+def test_q2_single_lineitem_scan(spark, specs):
+    """The correlated-MIN decorrelation must NOT scan lineitem twice: the
+    per-part min rides a window over the cost aggregation's own shuffle
+    (the textbook agg-then-self-join form pays a second full fact scan)."""
+    plan = _plan(spark, specs, "q2_min_cost_supplier")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Window [min(" in plan, plan
+
+
+def test_q21_semi_anti_with_residual(spark, specs):
+    """EXISTS/NOT EXISTS with a <> correlation must compile to hash semi/anti
+    joins carrying the inequality as a residual condition — a nested-loop
+    fallback here is quadratic in lineitems-per-order at scale."""
+    plan = _plan(spark, specs, "q21_waiting_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q16_pushdown_and_anti(spark, specs):
+    plan = _plan(spark, specs, "q16_parts_supplier")
+    # the brand/type predicates reach the part scan (the In(p_size,...) is
+    # pushed too but falls past toString's PushedFilters truncation);
+    # NOT IN compiles to an anti join
+    assert "Not(EqualTo(p_brand,Brand#1))" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
 def test_scatter_noop_when_scan_already_parallel(spark):
     """`scatter()` must add NO shuffle when the scan already yields >= cores
     splits — the production-scale condition (a 100 TB input arrives as ~1e5
