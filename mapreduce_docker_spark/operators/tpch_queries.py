@@ -473,16 +473,17 @@ def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, part = _t(spark, sf_dir, "lineitem", "part")
-    # per-part avg is one row per part -- bounded by |part|, broadcastable;
-    # the threshold join is the hand-decorrelated form of the correlated AVG
-    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        (F.lit(0.5) * F.avg("l_quantity")).alias("qty_threshold")
-    )
+    # the correlated AVG is per-part, so restricting to the wanted parts
+    # FIRST leaves every per-part average unchanged — the threshold can then
+    # ride a window over the already-filtered join instead of a second
+    # aggregate-the-whole-fact-table pass: ONE lineitem scan, and the window
+    # shuffle moves only the wanted parts' lineitems
     wanted = part.filter((F.col("p_brand") == "Brand#2") & (F.col("p_size") < 10))
+    threshold = F.lit(0.5) * F.avg("l_quantity").over(Window.partitionBy("l_partkey"))
     return (
         li.join(F.broadcast(wanted), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(thresholds), F.col("t_partkey") == F.col("l_partkey"))
-        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .withColumn("_qty_threshold", threshold)
+        .filter(F.col("l_quantity") < F.col("_qty_threshold"))
         .agg(dround(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"))
     )
 

@@ -106,6 +106,15 @@ def test_q21_semi_anti_with_residual(spark, specs):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_q17_single_lineitem_scan(spark, specs):
+    """The correlated-AVG threshold is per-part, so it rides a window over
+    the part-restricted join — a second whole-fact-table aggregation pass
+    would double the dominant scan cost at scale."""
+    plan = _plan(spark, specs, "q17_small_quantity_revenue")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Window [avg(" in plan, plan
+
+
 def test_q16_pushdown_and_anti(spark, specs):
     plan = _plan(spark, specs, "q16_parts_supplier")
     # the brand/type predicates reach the part scan (the In(p_size,...) is
