@@ -971,6 +971,27 @@ def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_hll_sketch_union_users",
+    None,  # DataSketches binary HLL: engine-internal representation, no DuckDB analog
+    section="A4",
+    note="mergeable HLL sketches (hll_sketch_agg per event_type, hll_union_agg "
+    "across types): the pre-aggregated-sketch-column pattern — at scale the "
+    "per-segment sketches are materialized once and every later rollup merges "
+    "bytes instead of re-scanning raw events; rows-only, pinned vs exact in tests",
+)
+def agg_hll_sketch_union_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    per_type = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.count_distinct("user_id").alias("exact_type_users"),
+    )
+    return per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users_merged"),
+        F.count(F.lit(1)).alias("n_sketches"),
+    )
+
+
+@register(
     "join_full_outer_balances",
     """
     SELECT n.n_nationkey, c.agg_bal AS cust_bal, s.agg_bal AS supp_bal

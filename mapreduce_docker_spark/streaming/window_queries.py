@@ -98,6 +98,55 @@ def events_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_1H_US = 60 * 60 * 1_000_000
+
+
+@register(
+    "events_multires_rollup",
+    f"""
+    SELECT make_timestamp((epoch_us(ts) // {_1H_US}) * {_1H_US})            AS hour_start,
+           event_type,
+           count(*) AS n_events,
+           {rsql("sum(value)", 2)} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    section="ST5,A1-A2",
+    note="hypertable-style multi-resolution rollup: the 1-hour tier is "
+    "re-aggregated FROM the 10-minute tier's partials (one raw scan for the "
+    "whole resolution pyramid); oracle computes the hour tier directly from "
+    "raw events, proving reaggregation == direct aggregation",
+)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-resolution rollup derived from 10-minute partial aggregates.
+
+    The 100 TB pattern: materialize the finest tier once, then every coarser
+    tier re-aggregates the (tiny) finer tier instead of re-scanning raw
+    events — counts and sums are algebraic, so partials compose exactly.
+    10-minute windows are epoch-aligned, so each nests in exactly one hour.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    fine = ev.groupBy(F.window("ts", "10 minutes"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_fine"),
+        F.sum("value").alias("v_fine"),
+    )
+    return (
+        fine.groupBy(
+            F.window(F.col("window.start"), "1 hour").alias("hour"), "event_type"
+        )
+        .agg(
+            F.sum("n_fine").alias("n_events"),
+            dround(F.sum("v_fine"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("hour.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 @register(
     "events_session_5m",
     f"""

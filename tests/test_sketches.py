@@ -19,3 +19,13 @@ def test_approx_percentile_tracks_exact(spark):
 def test_approx_count_distinct_tracks_exact(spark):
     r = all_specs()["agg_approx_distinct_users"].fn(spark, SF).collect()[0]
     assert abs(r["approx_users"] - r["exact_users"]) <= 0.05 * r["exact_users"] + 2, r
+
+
+def test_hll_sketch_union_tracks_exact(spark):
+    """Merging per-segment HLL sketches must estimate the GLOBAL distinct
+    count (union semantics, not a sum of per-segment counts)."""
+    specs = all_specs()
+    merged = specs["agg_hll_sketch_union_users"].fn(spark, SF).collect()[0]
+    exact = specs["agg_approx_distinct_users"].fn(spark, SF).collect()[0]["exact_users"]
+    assert merged["n_sketches"] >= 2, merged
+    assert abs(merged["approx_users_merged"] - exact) <= 0.05 * exact + 2, (merged, exact)
