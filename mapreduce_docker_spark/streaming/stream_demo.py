@@ -146,6 +146,61 @@ def run_stateful_user_counts(
     return spark.table(query_name)
 
 
+def run_transform_with_state_counts(
+    spark: SparkSession, sf_dir: str, query_name: str = "tws_counts"
+) -> DataFrame:
+    """Per-user running counts via ``transformWithStateInPandas`` (ST7).
+
+    The Spark 4.x arbitrary-stateful API succeeding applyInPandasWithState:
+    a :class:`StatefulProcessor` with named, typed state variables, backed by
+    the RocksDB state store (the 100 TB state backend — per-key state lives
+    off-heap/on-disk per partition instead of in executor heap). Semantics
+    here mirror :func:`run_stateful_user_counts` so tests can assert the two
+    APIs and the batch groupBy agree exactly.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class CountProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._n.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+        def close(self) -> None:
+            pass
+
+    # transformWithState requires the RocksDB state store provider; the conf
+    # is read at query start, so set it here rather than at session build
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    ev = read_events_stream(spark, sf_dir)
+    counted = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=CountProcessor(),
+        outputStructType=_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    q = (
+        counted.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def run_streaming_wordcount(
     spark: SparkSession, sf_dir: str, query_name: str = "stream_wordcount"
 ) -> DataFrame:

@@ -229,6 +229,48 @@ def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFram
     return run_stateful_user_counts(spark, sf_dir, query_name=f"st_{uuid.uuid4().hex[:8]}")
 
 
+def _protobuf_available() -> bool:
+    """transformWithStateInPandas speaks to its state server over protobuf;
+    a working ``google.protobuf`` is a genuinely-optional third-party dep
+    (absent/broken in some containers), so the query gates on it instead of
+    registering an always-failing entry."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+if _protobuf_available():
+
+    @register(
+        "streaming_transform_with_state",
+        None,  # custom stateful operator: inherently streaming-only
+        section="ST7",
+        note="transformWithStateInPandas per-user running counts (Spark 4.x "
+        "StatefulProcessor + RocksDB state store); asserted equal to the "
+        "applyInPandasWithState twin and the batch groupBy in tests",
+    )
+    def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from mapreduce_docker_spark.streaming.stream_demo import (
+            run_transform_with_state_counts,
+        )
+
+        return run_transform_with_state_counts(
+            spark, sf_dir, query_name=f"tws_{uuid.uuid4().hex[:8]}"
+        )
+
+else:
+    from mapreduce_docker_spark.registry import SKIPPED_MODULES
+
+    SKIPPED_MODULES["streaming_transform_with_state (query)"] = (
+        "google.protobuf: missing/broken — transformWithStateInPandas needs it "
+        "for the state-server protocol; run_transform_with_state_counts in "
+        "stream_demo.py is the gated implementation"
+    )
+
+
 @register(
     "streaming_wordcount",
     None,  # stateful streaming aggregation; equality with batch asserted in tests

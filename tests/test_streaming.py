@@ -187,3 +187,32 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert rows.get("10:00") == 3, rows
     # the 10:20 window is not yet past the final watermark -> not emitted
     assert "10:20" not in rows, rows
+
+
+def test_transform_with_state_gated_or_equal_to_batch(spark):
+    """transformWithStateInPandas: either the dep is present and the query
+    matches the batch groupBy exactly, or the skip is recorded visibly in
+    SKIPPED_MODULES (never a silently-missing family, never an
+    always-failing registration)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_docker_spark.registry import SKIPPED_MODULES, all_specs
+    from mapreduce_docker_spark.sources.catalog import load_table
+
+    specs = all_specs()
+    if "streaming_transform_with_state" not in specs:
+        assert any("transform_with_state" in k for k in SKIPPED_MODULES), SKIPPED_MODULES
+        return
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["user_id"], r["n_events"])
+        for r in specs["streaming_transform_with_state"].fn(spark, sf).collect()
+    )
+    batch = sorted(
+        (r["user_id"], r["n"])
+        for r in load_table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert got == batch
