@@ -724,6 +724,31 @@ def json_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_variant_events",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed,
+           CAST(NULL AS INTEGER)                              AS k_missing
+    FROM events
+    """,
+    section="F:json",
+    note="Spark 4 VARIANT path: parse_json ONCE into a binary variant column, "
+    "then typed variant_get extraction (+ try_variant_get null-safety on a "
+    "missing path) — at scale the parse cost is paid once per row instead of "
+    "once per extracted field, the reason VARIANT exists; oracle extracts the "
+    "same typed values from the JSON text",
+)
+def json_variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    v = events.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.variant_get("v", "$.k", "int").alias("k_typed"),
+        F.try_variant_get("v", "$.missing", "int").alias("k_missing"),
+    )
+
+
+@register(
     "array_embedding_stats",
     """
     SELECT vec_id,
