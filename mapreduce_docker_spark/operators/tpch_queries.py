@@ -558,7 +558,75 @@ def q20_potential_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the only-late-supplier predicate (no receipt/commit dates in fixture)",
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q21(spark, sf_dir, single_pass=False)
+
+
+@register(
+    "q21_waiting_suppliers_onepass",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 25
+    """,
+    section="J3,A7,T1,W:analytic",
+    note="Q21 rewritten as ONE lineitem scan: per-order supplier sets ride a "
+    "window, the EXISTS pair becomes set-size predicates (other supplier "
+    "exists <=> |suppliers| > 1; no other R supplier <=> |R suppliers| = 1). "
+    "Same oracle as q21_waiting_suppliers — the rewrite is proven, not assumed",
+)
+def q21_waiting_suppliers_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q21(spark, sf_dir, single_pass=True)
+
+
+def _q21(spark: SparkSession, sf_dir: str, single_pass: bool) -> DataFrame:
     supp, li, orders = _t(spark, sf_dir, "supplier", "lineitem", "orders")
+    if single_pass:
+        # one scan: restrict to F-order lineitems (order-level predicate, so
+        # per-order supplier sets are unchanged), then the two correlated
+        # subqueries become per-order window set sizes
+        w = Window.partitionBy("l_orderkey")
+        base = li.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        flagged = base.select(
+            "l_orderkey",
+            "l_suppkey",
+            "l_returnflag",
+            F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+            F.size(
+                F.collect_set(
+                    F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+                ).over(w)
+            ).alias("n_r_supp"),
+        )
+        waiting = flagged.filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("n_supp") > 1)
+            & (F.col("n_r_supp") == 1)
+        )
+        return (
+            waiting.join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name")
+            .limit(25)
+        )
     l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
     l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
     l3 = (

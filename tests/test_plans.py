@@ -106,6 +106,15 @@ def test_q21_semi_anti_with_residual(spark, specs):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_q21_onepass_single_lineitem_scan(spark, specs):
+    """The window rewrite of Q21 must scan lineitem once (the semi/anti join
+    form scans it three times — kept as the J3 API demonstration)."""
+    plan = _plan(spark, specs, "q21_waiting_suppliers_onepass")
+    assert plan.count("lineitem.parquet") == 1, plan
+    join_form = _plan(spark, specs, "q21_waiting_suppliers")
+    assert join_form.count("lineitem.parquet") == 3, join_form
+
+
 def test_q17_single_lineitem_scan(spark, specs):
     """The correlated-AVG threshold is per-part, so it rides a window over
     the part-restricted join — a second whole-fact-table aggregation pass
