@@ -92,20 +92,23 @@ def _load_all() -> None:
 # relational and left dedup/similarity/text/multimodal/udf/streaming with no
 # driver verdict. This window hand-picks 50 queries so every SURVEY §2
 # family lands at least one oracle-carrying entry inside the checked prefix;
-# everything else follows in registration order.
+# everything else follows in registration order. Round 2 swaps six slots
+# that re-verified round-1-green queries for the new round-2 shapes
+# (decorrelated TPC-H, one-pass Q21, multires rollup, VARIANT), keeping
+# wordcount/q1/q5 + one join per type as regression canaries.
 _PRIORITY_WINDOW = (
     # P1-P3 / A1-A5 / T1 (wordcount core)
     "wordcount",
-    "wordcount_top20",
-    "wordcount_unique",
+    "q2_min_cost_supplier",
+    "q21_waiting_suppliers_onepass",
     # A7 / J1 / J2 / P5 canaries (TPC-H shapes, green in round 1)
     "q1_pricing_summary",
     "q5_local_supplier",
-    "q18_large_orders",
+    "q13_customer_distribution",
     # J1-J4 joins
     "join_semi_urgent_customers",
     "join_theta_acctbal_band",
-    "join_full_outer_balances",
+    "q17_small_quantity_revenue",
     # A4/A7 aggregates (driver-unverified in round 1)
     "agg_percentiles_by_segment",
     "agg_pivot_status_by_segment",
@@ -124,11 +127,11 @@ _PRIORITY_WINDOW = (
     "json_event_props",
     "json_map_entries",
     "map_hof_event_props",
-    "array_embedding_stats",
+    "json_variant_events",
     "array_hof_embeddings",
     # SQL-string interface + sampling
     "sql_interface_revenue_by_nation",
-    "sample_events_bernoulli",
+    "events_multires_rollup",
     # U4 text analysis
     "text_token_stats",
     "text_tfidf_top_term",
