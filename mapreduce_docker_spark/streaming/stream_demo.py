@@ -201,6 +201,42 @@ def run_transform_with_state_counts(
     return spark.table(query_name)
 
 
+def run_foreachbatch_partitioned_sink(
+    spark: SparkSession, sf_dir: str, out_dir: str, query_name: str = "fb_sink"
+) -> DataFrame:
+    """Streaming -> durable parquet via ``foreachBatch`` (the production sink).
+
+    The reference's only sink is a driver-written TSV (coordinator.py:
+    131-134); the streaming-at-scale analog is foreachBatch writing each
+    micro-batch's state to a PARTITIONED parquet table with dynamic
+    partition overwrite — replaying a batch overwrites the same partitions
+    instead of duplicating them, which is what makes the sink idempotent
+    under Structured Streaming's at-least-once batch replay. Complete-mode
+    counts per event_type, partitioned by event_type. Returns the read-back
+    of the durable output (asserted equal to the batch groupBy in tests).
+    """
+    ev = read_events_stream(spark, sf_dir)
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("event_type")
+            .parquet(out_dir)
+        )
+
+    q = (
+        counts.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select("event_type", "n_events")
+
+
 def run_streaming_wordcount(
     spark: SparkSession, sf_dir: str, query_name: str = "stream_wordcount"
 ) -> DataFrame:

@@ -272,6 +272,29 @@ else:
 
 
 @register(
+    "streaming_foreachbatch_sink",
+    None,  # durable-sink demo: the check is the read-back, equality vs batch in tests
+    section="ST6,S5",
+    note="foreachBatch -> dynamic-partition-overwrite parquet sink (idempotent "
+    "under micro-batch replay) — the durable streaming sink the reference's "
+    "driver-written TSV becomes at scale; read-back asserted equal to the "
+    "batch aggregate in tests",
+)
+def streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from mapreduce_docker_spark.streaming.stream_demo import (
+        run_foreachbatch_partitioned_sink,
+    )
+
+    out = os.path.join(tempfile.gettempdir(), f"fb_sink_{uuid.uuid4().hex[:8]}")
+    return run_foreachbatch_partitioned_sink(
+        spark, sf_dir, out, query_name=f"fb_{uuid.uuid4().hex[:8]}"
+    )
+
+
+@register(
     "streaming_wordcount",
     None,  # stateful streaming aggregation; equality with batch asserted in tests
     section="P1-P3,A1-A2,ST1",

@@ -216,3 +216,36 @@ def test_transform_with_state_gated_or_equal_to_batch(spark):
         .collect()
     )
     assert got == batch
+
+
+def test_foreachbatch_sink_idempotent_and_equal_to_batch(spark, tmp_path):
+    """The durable sink must (a) equal the batch aggregate and (b) stay
+    equal after a replay — dynamic partition overwrite makes re-running a
+    batch rewrite partitions instead of duplicating rows."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_docker_spark.sources.catalog import load_table
+    from mapreduce_docker_spark.streaming.stream_demo import (
+        run_foreachbatch_partitioned_sink,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "fb_out")
+    batch = sorted(
+        (r["event_type"], r["n_events"])
+        for r in load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    got = sorted(
+        (r["event_type"], r["n_events"])
+        for r in run_foreachbatch_partitioned_sink(spark, sf, out, "fb_t1").collect()
+    )
+    assert got == batch
+    # replay: second full run against the SAME output dir must not duplicate
+    again = sorted(
+        (r["event_type"], r["n_events"])
+        for r in run_foreachbatch_partitioned_sink(spark, sf, out, "fb_t2").collect()
+    )
+    assert again == batch
