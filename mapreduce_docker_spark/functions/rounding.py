@@ -11,6 +11,16 @@ is an exact value-hash, every rounded float the engine emits uses
 
 instead: pure IEEE-double arithmetic that both engines evaluate bit-
 identically. The matching oracle-SQL spelling is produced by :func:`sql`.
+
+One trap inside that formula: Spark's ``floor(double)`` returns LONG, so for
+|x * 10^n| beyond Long range the conversion clamps (1e15 at 4 decimals came
+back as 922337203685477.6 — found by tests/test_rounding_properties.py),
+while DuckDB's ``floor`` is double -> double. The fix rides an IEEE fact:
+every double with magnitude >= 2^52 is already integral, so floor is the
+identity there and the long conversion is only used where it is exact —
+|y| < 2^52 is far inside Long range. Both branches are bit-identical to
+DuckDB's double floor, keeping 100 TB-scale aggregates (global sums DO
+reach 1e15) hash-stable.
 """
 
 from __future__ import annotations
@@ -18,14 +28,27 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# doubles at or above this magnitude have no fractional part (ulp >= 1)
+_INTEGRAL_THRESHOLD = 2.0**52
+
 
 def dround(col: Column | str, n: int) -> Column:
     """Deterministic round-half-up of a double column to ``n`` decimals."""
     c = F.col(col) if isinstance(col, str) else col
     scale = F.lit(float(10**n))
-    return F.floor(c * scale + F.lit(0.5)) / scale
+    y = c * scale + F.lit(0.5)
+    int_part = F.when(
+        F.abs(y) < F.lit(_INTEGRAL_THRESHOLD), F.floor(y).cast("double")
+    ).otherwise(y)
+    return int_part / scale
 
 
 def sql(expr: str, n: int) -> str:
-    """DuckDB spelling of :func:`dround` for oracle queries."""
+    """DuckDB spelling of :func:`dround` for oracle queries.
+
+    DuckDB's ``floor`` is double -> double (no Long conversion), so the
+    plain formula already equals :func:`dround`'s two-branch form bit-for-
+    bit: below 2^52 both floor exactly, at or above it floor is the
+    identity on an already-integral double.
+    """
     return f"floor(({expr}) * {float(10 ** n)} + 0.5) / {float(10 ** n)}"
