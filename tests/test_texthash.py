@@ -130,3 +130,42 @@ def test_simhash(spark):
     }
     for i, t in enumerate(TEXTS):
         assert out[i] == _py_simhash(_py_tokens(t)), f"simhash differs for {t!r}"
+
+
+def test_shingle_hash_matches_oracle_spelling_bit_exactly(spark):
+    """The md5->31-bit hash is the keystone every MinHash oracle rests on:
+    the Spark and DuckDB spellings must agree for arbitrary strings (unicode,
+    punctuation, md5 hex prefixes with/without leading letters), not just the
+    fixture corpus — md5 operates on UTF-8 bytes in both engines and the hex
+    prefix -> integer conversions must be identical."""
+    import duckdb
+
+    from mapreduce_docker_spark.functions import texthash as th
+
+    vals = [
+        "the quick brown fox",
+        "a",
+        " ",
+        "token token token",
+        "naïve café über",          # multi-byte UTF-8
+        "日本語のテキスト",            # CJK
+        "tab\tand\nnewline",
+        "0123456789abcdef",
+        "x" * 500,                  # long shingle
+        "punct!@#$%^&*()",
+        "mixedCASE Shingle",
+    ] + [f"shingle_{i}_{i*i}" for i in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    from pyspark.sql import functions as F
+
+    got = [r[0] for r in df.select(th.shingle_hash(F.col("s")).alias("h")).collect()]
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT {th.sql_shingle_hash('s')} FROM (SELECT unnest(?::VARCHAR[]) AS s)",
+            params=[vals],
+        ).fetchall()
+    ]
+    assert got == want, [
+        (v, g, w) for v, g, w in zip(vals, got, want) if g != w
+    ][:5]
