@@ -31,10 +31,36 @@ def test_exact_dedup_is_identity_on_unique_corpus(spark):
     assert groups.filter(F.col("n_docs") > 1).count() == 0
 
 
-def test_embedding_pairs_within_label_only(spark):
+def test_embedding_pairs_srp_recall_vs_brute_force(spark):
+    """SRP-band LSH near-dup vs exhaustive cosine ground truth.
+
+    Precision is 1.0 by construction (candidates are exact-cosine verified);
+    the quantity under test is recall of the banding. At cos 0.40
+    (theta ~66deg) P[bit agrees] ~ 0.63, so 24 bands x 6 bits gives
+    ~1-(1-0.63^6)^24 ~ 0.8 expected recall; deterministic hyperplanes make
+    the observed value stable, not flaky. Round 1's label-blocked variant
+    found ~8% of these pairs — the floor here guards against regressing to
+    any similarly weak blocker. Also pins the label column OUT of the
+    output (VERDICT.md r1: ground truth must not ride the query path).
+    """
     rows = dq.dedup_embedding_pairs(spark, SF_SMOKE).collect()
-    assert len(rows) > 0
+    assert rows, "fixture should contain near-dup embedding pairs"
     assert all(0.40 <= r["cos_sim"] <= 1.0 for r in rows)
+    assert "label" not in dq.dedup_embedding_pairs(spark, SF_SMOKE).columns
+
+    unit = dq._unit_vectors(spark, SF_SMOKE)
+    a = unit.select(F.col("vec_id").alias("va"), F.col("u").alias("ua"))
+    b = unit.select(F.col("vec_id").alias("vb"), F.col("u").alias("ub"))
+    exact = (
+        a.join(b, F.col("va") < F.col("vb"))
+        .select("va", "vb", dq._dot(F.col("ua"), F.col("ub")).alias("cos"))
+        .filter(F.col("cos") >= dq.COSINE_DUP_THRESHOLD)
+        .collect()
+    )
+    truth = {(r["va"], r["vb"]) for r in exact}
+    found = {(r["vec_a"], r["vec_b"]) for r in rows}
+    assert found <= truth  # verified candidates are never false positives
+    assert len(found) >= 0.6 * len(truth), (len(found), len(truth))
 
 
 def test_minhash_lsh_recall_vs_brute_force(spark):
