@@ -521,3 +521,113 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_token_ratio",
         (F.col("top_token_ratio") <= REPETITION_MAX_RATIO).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable frequency counters + heavy-hitter estimates
+# ---------------------------------------------------------------------------
+# The third sketch in the family (HLL cardinality in relational_queries,
+# KLL-style quantiles in test_sketches): CMS answers "how often does key x
+# occur" in O(DEPTH*WIDTH) memory with one-sided error (est >= truth,
+# overcount bounded by collisions). The counters are a pure sum-merge
+# structure — at 100 TB each partition sketches locally and the reduce is a
+# cell-wise sum, the same combiner shape as the reference's word count
+# (reference worker.py:15) with a FIXED-size state instead of the vocabulary.
+# Hash rows reuse the MinHash affine family (md5 -> 31-bit -> (a*h+b) % P),
+# so both engines compute identical cells and the oracle is a hash-match.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+_CMS_COEFS = list(zip(th.MINHASH_A, th.MINHASH_B))[:CMS_DEPTH]
+
+_SQL_CMS = f"""
+    WITH wc AS (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({_SQL_TOKS}) AS w FROM documents) t
+      GROUP BY w
+    ),
+    coef AS (
+      SELECT * FROM (VALUES {", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(_CMS_COEFS))}) AS c(j, a, b)
+    ),
+    hb AS (
+      SELECT word, cnt, c.j AS j,
+             ((c.a * {th.sql_shingle_hash('word')} + c.b) % {th.MINHASH_P}) % {CMS_WIDTH} AS bucket
+      FROM wc, coef c
+    ),
+    counters AS (
+      SELECT j, bucket, CAST(sum(cnt) AS BIGINT) AS bucket_cnt
+      FROM hb GROUP BY j, bucket
+    )
+"""
+
+
+def _cms_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, cnt, j, bucket) — exact counts fanned out to their CMS cells.
+
+    Exact word counts FIRST (map-side combine collapses each partition to
+    its vocabulary), then DEPTH bucket keys per surviving word: the sketch
+    build costs one corpus scan + one tiny fan-out, never a second pass
+    over the corpus.
+    """
+    wc = (
+        _docs(spark, sf_dir)
+        .select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    h = th.shingle_hash(F.col("word"))
+    return wc.select(
+        "word",
+        "cnt",
+        F.posexplode(
+            F.array(
+                *[
+                    ((F.lit(a) * h + F.lit(b)) % F.lit(th.MINHASH_P)) % F.lit(CMS_WIDTH)
+                    for a, b in _CMS_COEFS
+                ]
+            )
+        ).alias("j", "bucket"),
+    )
+
+
+@register(
+    "sketch_cms_counters",
+    _SQL_CMS
+    + """
+    SELECT j, bucket, bucket_cnt FROM counters
+    """,
+    section="A7,U4",
+    note=f"count-min sketch counter table ({CMS_DEPTH} affine md5 hash rows x {CMS_WIDTH} buckets): fixed-size, cell-wise-sum-mergeable frequency state (merge law pinned in tests/test_sketches.py)",
+)
+def sketch_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _cms_buckets(spark, sf_dir)
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").alias("bucket_cnt"))
+    )
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    _SQL_CMS
+    + """
+    SELECT word, cnt, est, est - cnt AS overcount FROM (
+      SELECT hb.word, hb.cnt, min(c.bucket_cnt) AS est
+      FROM hb JOIN counters c ON c.j = hb.j AND c.bucket = hb.bucket
+      GROUP BY hb.word, hb.cnt
+    ) ORDER BY cnt DESC, word ASC LIMIT 20
+    """,
+    section="T1,U4",
+    note="CMS point queries for the top-20 words: est = min over hash rows of the hit cell; one-sided error (overcount >= 0) visible as an output column, exact counts alongside for the fixture-scale audit",
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hb = _cms_buckets(spark, sf_dir)
+    counters = hb.groupBy("j", "bucket").agg(F.sum("cnt").alias("bucket_cnt"))
+    return (
+        hb.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("word", "cnt")
+        .agg(F.min("bucket_cnt").alias("est"))
+        .select("word", "cnt", "est", (F.col("est") - F.col("cnt")).alias("overcount"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(20)
+    )
