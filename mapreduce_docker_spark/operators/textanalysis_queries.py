@@ -621,11 +621,20 @@ def sketch_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     note="CMS point queries for the top-20 words: est = min over hash rows of the hit cell; one-sided error (overcount >= 0) visible as an output column, exact counts alongside for the fixture-scale audit",
 )
 def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The cell grouping carries its member (word, cnt) structs alongside the
+    # cell sum (the MinHash-LSH carry trick, dedup_queries.py), so the point
+    # query re-explodes members instead of joining the probe relation back —
+    # one corpus scan, one shuffle on (j, bucket), one vocabulary-sized
+    # regroup on word (pinned in tests/test_plans.py). Member lists are
+    # vocabulary/WIDTH sized: post-aggregation data, not corpus rows.
     hb = _cms_buckets(spark, sf_dir)
-    counters = hb.groupBy("j", "bucket").agg(F.sum("cnt").alias("bucket_cnt"))
+    cells = hb.groupBy("j", "bucket").agg(
+        F.sum("cnt").alias("bucket_cnt"),
+        F.collect_list(F.struct("word", "cnt")).alias("members"),
+    )
     return (
-        hb.join(F.broadcast(counters), ["j", "bucket"])
-        .groupBy("word", "cnt")
+        cells.select("bucket_cnt", F.explode("members").alias("m"))
+        .groupBy(F.col("m.word").alias("word"), F.col("m.cnt").alias("cnt"))
         .agg(F.min("bucket_cnt").alias("est"))
         .select("word", "cnt", "est", (F.col("est") - F.col("cnt")).alias("overcount"))
         .orderBy(F.desc("cnt"), F.asc("word"))

@@ -167,3 +167,20 @@ def test_no_python_udf_in_sql_oracle_paths(spark, specs):
             continue
         plan = _plan(spark, specs, name)
         assert "BatchEvalPython" not in plan, f"{name} fell back to row-Python"
+
+
+def test_embedding_lsh_single_embeddings_scan(spark, specs):
+    """SRP-band near-dup must read `embeddings` ONCE: the unit vector and
+    the 144-bit fingerprint come out of the same scan and verification
+    rides the bucket grouping (no join back to the table)."""
+    plan = _plan(spark, specs, "dedup_embedding_pairs")
+    assert plan.count("embeddings.parquet") == 1, plan
+
+
+def test_cms_single_documents_scan(spark, specs):
+    """Both CMS queries cost ONE corpus scan: the sketch is built from the
+    word-count aggregate, and point queries re-explode cell members instead
+    of joining the probe relation back (which re-planned the scan)."""
+    for name in ("sketch_cms_counters", "sketch_cms_heavy_hitters"):
+        plan = _plan(spark, specs, name)
+        assert plan.count("documents.parquet") == 1, (name, plan)
