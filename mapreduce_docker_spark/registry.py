@@ -112,7 +112,6 @@ _PRIORITY_WINDOW = (
     # A4/A7 aggregates (driver-unverified in round 1)
     "agg_percentiles_by_segment",
     "agg_pivot_status_by_segment",
-    "agg_unpivot_balances",
     "agg_stats_quantity_price",
     "agg_collect_order_keys",
     "agg_approx_distinct_users",
@@ -125,7 +124,6 @@ _PRIORITY_WINDOW = (
     "scalar_datetime_events",
     "scalar_interval_orders",
     "json_event_props",
-    "json_map_entries",
     "map_hof_event_props",
     "json_variant_events",
     "array_hof_embeddings",
@@ -143,6 +141,8 @@ _PRIORITY_WINDOW = (
     "dedup_minhash_pairs",
     "dedup_minhash_survivors",
     "dedup_simhash",
+    "dedup_embedding_pairs",
+    "sketch_cms_heavy_hitters",
     # U3 similarity
     "sim_cosine_topk",
     "sim_ann_srp",
