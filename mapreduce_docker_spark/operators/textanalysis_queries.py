@@ -640,3 +640,88 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("word"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# SymSpell fuzzy vocabulary join: deletion-neighborhood blocking
+# ---------------------------------------------------------------------------
+# Typo clustering / vocab normalization as a SIMILARITY JOIN that never goes
+# all-pairs: each word's blocking keys are the word itself plus its
+# single-character deletions, and two words within edit distance 1 PROVABLY
+# share at least one key (substitution -> common deletion at the edited
+# position; insertion/deletion -> the shorter word is itself a deletion of
+# the longer). So unlike heuristic prefix/length blocking, candidate recall
+# is exactly 100% — pinned as set-EQUALITY with the all-pairs join in
+# tests/test_texthash.py, not a recall floor. Key fan-out is len(word)+1
+# per word over the DISTINCT vocabulary (post-agg data, Zipf-collapsed),
+# never the corpus; bucket size is capped like every LSH path here.
+
+SYMSPELL_MAX_BUCKET = 256
+
+
+@register(
+    "text_symspell_vocab_pairs",
+    f"""
+    WITH vocab AS (
+      SELECT DISTINCT w FROM (
+        SELECT unnest(string_split(lower(p_name), ' ')) AS w FROM part
+      ) WHERE w <> ''
+    ),
+    keys AS (
+      SELECT w, unnest(list_distinct(list_prepend(w,
+        list_transform(generate_series(1, length(w)),
+          i -> substr(w, 1, i - 1) || substr(w, i + 1, length(w)))))) AS k
+      FROM vocab
+    ),
+    buckets AS (
+      SELECT k FROM keys GROUP BY k
+      HAVING count(*) BETWEEN 2 AND {SYMSPELL_MAX_BUCKET}
+    ),
+    cand AS (
+      SELECT DISTINCT a.w AS word_a, b.w AS word_b
+      FROM buckets c
+      JOIN keys a ON a.k = c.k
+      JOIN keys b ON b.k = c.k AND a.w < b.w
+    )
+    SELECT word_a, word_b, CAST(levenshtein(word_a, word_b) AS INTEGER) AS edit_dist
+    FROM cand WHERE levenshtein(word_a, word_b) <= 1
+    """,
+    section="J5,U4",
+    note="SymSpell deletion-neighborhood blocked fuzzy join over the part-name vocabulary: 100% candidate recall at edit distance <= 1 by construction (set-equality with all-pairs pinned in tests), bucket-capped fan-out",
+)
+def text_symspell_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab = (
+        load_table(spark, sf_dir, "part")
+        .select(F.explode(F.split(F.lower("p_name"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    w = F.col("w")
+    deletions = F.transform(
+        F.sequence(F.lit(1), F.length(w)),
+        lambda i: F.concat(
+            w.substr(F.lit(1), i - F.lit(1)),
+            w.substr(i + F.lit(1), F.length(w)),
+        ),
+    )
+    keys = vocab.select(
+        "w",
+        F.explode(F.array_distinct(F.concat(F.array(w), deletions))).alias("k"),
+    )
+    buckets = (
+        keys.groupBy("k")
+        .agg(F.collect_set("w").alias("ws"))
+        .filter(F.size("ws").between(2, SYMSPELL_MAX_BUCKET))
+    )
+    return (
+        buckets.select(F.explode("ws").alias("word_a"), "ws")
+        .select("word_a", F.explode("ws").alias("word_b"))
+        .filter(F.col("word_a") < F.col("word_b"))
+        .distinct()
+        .filter(F.levenshtein("word_a", "word_b") <= 1)
+        .select(
+            "word_a",
+            "word_b",
+            F.levenshtein("word_a", "word_b").cast("int").alias("edit_dist"),
+        )
+    )

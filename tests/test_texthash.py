@@ -169,3 +169,43 @@ def test_shingle_hash_matches_oracle_spelling_bit_exactly(spark):
     assert got == want, [
         (v, g, w) for v, g, w in zip(vals, got, want) if g != w
     ][:5]
+
+
+def test_symspell_blocking_is_complete_at_distance_1(spark):
+    """Deletion-neighborhood blocking finds EXACTLY the all-pairs result —
+    set equality, not a recall floor: any two words within edit distance 1
+    share a deletion key by construction, so the blocked join may not drop
+    (or invent) a single pair vs the quadratic baseline."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_docker_spark.operators.textanalysis_queries import (
+        text_symspell_vocab_pairs,
+    )
+    from mapreduce_docker_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    blocked = {
+        (r["word_a"], r["word_b"], r["edit_dist"])
+        for r in text_symspell_vocab_pairs(spark, sf).collect()
+    }
+    vocab = (
+        load_table(spark, sf, "part")
+        .select(F.explode(F.split(F.lower("p_name"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    a = vocab.select(F.col("w").alias("word_a"))
+    b = vocab.select(F.col("w").alias("word_b"))
+    brute = {
+        (r["word_a"], r["word_b"], r["edit_dist"])
+        for r in a.join(b, F.col("word_a") < F.col("word_b"))
+        .select(
+            "word_a",
+            "word_b",
+            F.levenshtein("word_a", "word_b").cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 1)
+        .collect()
+    }
+    assert blocked == brute
+    assert brute, "fixture part vocabulary should contain distance-1 pairs"
