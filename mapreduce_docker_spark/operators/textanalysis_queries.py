@@ -725,3 +725,110 @@ def text_symspell_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("word_a", "word_b").cast("int").alias("edit_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline: quality gate + repetition gate + near-dup drop
+# ---------------------------------------------------------------------------
+# The composition the individual operators exist FOR: one declarative plan
+# that takes raw documents to a curated training set. All per-doc metrics
+# (token counts, stopword mass, top-token mass) derive from ONE exploded
+# token pass (two chained partial-agg groupBys); the near-dup drop list is
+# the MinHash-LSH pipeline reused verbatim from dedup_queries. At 100 TB
+# each gate is a WHERE on already-aggregated per-doc rows — the corpus
+# itself is scanned once for metrics and once for signatures, and the
+# only joins are doc_id-keyed (unique key, clean hash partitioning).
+
+CURATION_MIN_QUALITY = 0.62
+CURATION_MAX_REPETITION = 0.2
+
+_SQL_CURATION_QUALITY = (
+    "0.3 * (nd / CAST(nt AS DOUBLE))"
+    " + 0.4 * (1.0 - ns / CAST(nt AS DOUBLE))"
+    " + 0.3 * least(nt / 100.0, 1.0)"
+)
+
+from mapreduce_docker_spark.operators.dedup_queries import (  # noqa: E402
+    JACCARD_THRESHOLD as _JACCARD_THRESHOLD,
+    _SQL_SIG_CTE as _SQL_MINHASH_CTE,
+    _sql_jaccard as _sql_minhash_jaccard,
+)
+
+
+@register(
+    "text_curation_pipeline",
+    _SQL_MINHASH_CTE
+    + f""",
+    dropped AS (
+      SELECT DISTINCT c.doc_b
+      FROM cand c
+      JOIN hs da ON da.doc_id = c.doc_a
+      JOIN hs db ON db.doc_id = c.doc_b
+      WHERE {rsql(_sql_minhash_jaccard('da.hs', 'db.hs'), 4)} >= {_JACCARD_THRESHOLD}
+    ),
+    tok AS (
+      SELECT doc_id, lang, unnest({_SQL_TOKS}) AS w FROM documents
+    ),
+    freq AS (
+      SELECT doc_id, lang, w, count(*) AS c FROM tok GROUP BY doc_id, lang, w
+    ),
+    m AS (
+      SELECT doc_id, lang,
+             CAST(sum(c) AS BIGINT) AS nt,
+             CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(CASE WHEN w IN ('the','a','and','of','to','in','for','on')
+                           THEN c ELSE 0 END) AS BIGINT) AS ns,
+             CAST(max(c) AS BIGINT) AS topc
+      FROM freq GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang, CAST(nt AS INTEGER) AS n_tokens,
+           {rsql(_SQL_CURATION_QUALITY, 4)} AS quality_score,
+           {rsql("topc / CAST(nt AS DOUBLE)", 4)} AS top_token_ratio
+    FROM m
+    WHERE {rsql(_SQL_CURATION_QUALITY, 4)} >= {CURATION_MIN_QUALITY}
+      AND {rsql("topc / CAST(nt AS DOUBLE)", 4)} <= {CURATION_MAX_REPETITION}
+      AND doc_id NOT IN (SELECT doc_b FROM dropped)
+    """,
+    section="U1,U2,U4",
+    note=f"end-to-end curation: quality >= {CURATION_MIN_QUALITY} AND top-token ratio <= {CURATION_MAX_REPETITION} AND not the dropped side of a verified MinHash near-dup pair; gates compare ROUNDED metrics so the cut line is engine-exact",
+)
+def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_docker_spark.operators.dedup_queries import dedup_minhash_pairs
+
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("w")
+    )
+    freq = tok.groupBy("doc_id", "lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    m = freq.groupBy("doc_id", "lang").agg(
+        F.sum("c").alias("nt"),
+        F.count(F.lit(1)).alias("nd"),
+        F.sum(
+            F.when(F.col("w").isin(*STOPWORDS), F.col("c")).otherwise(F.lit(0))
+        ).alias("ns"),
+        F.max("c").alias("topc"),
+    )
+    ntd = F.col("nt").cast("double")
+    quality = dround(
+        F.lit(0.3) * (F.col("nd") / ntd)
+        + F.lit(0.4) * (F.lit(1.0) - F.col("ns") / ntd)
+        + F.lit(0.3) * F.least(F.col("nt") / F.lit(100.0), F.lit(1.0)),
+        4,
+    )
+    rep = dround(F.col("topc") / ntd, 4)
+    dropped = dedup_minhash_pairs(spark, sf_dir).select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    return (
+        m.select(
+            "doc_id",
+            "lang",
+            F.col("nt").cast("int").alias("n_tokens"),
+            quality.alias("quality_score"),
+            rep.alias("top_token_ratio"),
+        )
+        .filter(
+            (F.col("quality_score") >= CURATION_MIN_QUALITY)
+            & (F.col("top_token_ratio") <= CURATION_MAX_REPETITION)
+        )
+        .join(dropped, "doc_id", "left_anti")
+    )
