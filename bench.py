@@ -47,6 +47,8 @@ HEADLINE = [
     "udf_applyinpandas_zscore",     # Arrow grouped-map UDF
     "q9_product_type_profit",       # 5-way fact/dim join, profit by nation x year
     "q21_waiting_suppliers",        # EXISTS + NOT EXISTS semi/anti self-joins
+    "dedup_embedding_pairs",        # SRP-band LSH near-dup + Hamming-gated verify
+    "text_curation_pipeline",       # composed quality/repetition/near-dup gates
 ]
 
 

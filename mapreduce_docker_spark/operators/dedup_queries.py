@@ -759,3 +759,46 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     all_ids = load_table(spark, sf_dir, "documents").select("doc_id")
     return dedup_cluster_labels(pairs, all_ids)
+
+
+@register(
+    "dedup_embedding_clusters",
+    _SQL_DEDUP_SRP
+    + f""",
+    verified AS (
+      SELECT c.vec_a, c.vec_b
+      FROM cand c
+      JOIN unit ua ON ua.vec_id = c.vec_a
+      JOIN unit ub ON ub.vec_id = c.vec_b
+      WHERE {rsql(_sql_dot('ua.u', 'ub.u'), 4)} >= {COSINE_DUP_THRESHOLD}
+    ),
+    edges AS (
+      SELECT vec_a AS src, vec_b AS dst FROM verified
+      UNION
+      SELECT vec_b AS src, vec_a AS dst FROM verified
+    ),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.b FROM edges e JOIN r ON r.a = e.dst
+      )
+      SELECT a, b FROM r
+    ),
+    comp AS (SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a)
+    SELECT emb.vec_id, coalesce(comp.cluster_id, emb.vec_id) AS cluster_id
+    FROM embeddings emb LEFT JOIN comp ON comp.vec_id = emb.vec_id
+    """,
+    section="U2,U3",
+    note="connected components over the SRP near-dup graph (same min-label propagation / recursive-closure pair as the MinHash clusters): the unit of embedding dedup is the transitive cluster, not the pair",
+)
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_embedding_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    all_ids = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    return dedup_cluster_labels(pairs, all_ids).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
