@@ -66,6 +66,7 @@ def _load_all() -> None:
         "multimodal",
         "asof",
         "udf",
+        "profile",
     ):
         fq = f"mapreduce_docker_spark.operators.{mod}_queries"
         try:
