@@ -46,7 +46,8 @@ HEADLINE = [
     "range_join_events_in_order_window",  # banded range join
     "udf_applyinpandas_zscore",     # Arrow grouped-map UDF
     "q9_product_type_profit",       # 5-way fact/dim join, profit by nation x year
-    "q21_waiting_suppliers",        # EXISTS + NOT EXISTS semi/anti self-joins
+    "q21_waiting_suppliers",        # EXISTS + NOT EXISTS semi/anti self-joins (3 lineitem scans)
+    "q21_waiting_suppliers_onepass",  # same oracle, window rewrite: 1 lineitem scan
     "dedup_embedding_pairs",        # SRP-band LSH near-dup + Hamming-gated verify
     "text_curation_pipeline",       # composed quality/repetition/near-dup gates
 ]
@@ -164,6 +165,35 @@ def _dedup_scaling_probe(spark) -> dict:
     # x16), which contradicts the linearity claim the probe exists to make
     out = {f"x{m}": round(min(run_once(m) for _ in range(2)), 3) for m in (1, 4, 16)}
     out["x16_over_x1"] = round(out["x16"] / out["x1"], 2)
+
+    # full pairs+survivors at x16: the corpus size where tokenize dominates,
+    # so the single-scan signature rewrite's saved re-scan is visible in
+    # wall clock (at sf0.1 x1 it is noise — VERDICT.md r2, perf #5)
+    from mapreduce_docker_spark.operators.dedup_queries import (
+        minhash_pairs_from_docs,
+    )
+
+    mult = 16
+    reps = F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("rep")
+    docs16 = base.select("doc_id", "text", reps).select(
+        (F.col("doc_id") * mult + F.col("rep")).alias("doc_id"),
+        F.concat(F.lit("rep"), F.col("rep"), F.lit(" v"), F.col("rep"),
+                 F.lit(" "), F.col("text")).alias("text"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    pairs16 = minhash_pairs_from_docs(docs16)
+    survivors16 = docs16.select("doc_id").join(
+        pairs16.select(F.col("doc_b").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+
+    def run_survivors() -> float:
+        t0 = time.perf_counter()
+        survivors16.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    run_survivors()  # codegen warm-up
+    out["survivors_x16"] = round(min(run_survivors() for _ in range(2)), 3)
     return out
 
 
@@ -183,11 +213,13 @@ def main() -> None:
         else:
             spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-        # two timed iterations, report the min: first execution at a new
+        # three timed iterations, report the min: first execution at a new
         # scale still pays AQE re-planning + residual JIT for stage shapes
-        # the warm-up could not produce; min-of-2 is the steady-state cost
+        # the warm-up could not produce, and single-shot timings in a 20+
+        # query session drift 10-30% with GC load (BENCH_r02's uniform
+        # regression on untouched plans); min-of-3 is the steady-state cost
         timings: dict[str, float] = {}
-        for _ in range(2):
+        for _ in range(3):
             for name in HEADLINE:
                 df = specs[name].fn(spark, SF_DIR)
                 t0 = time.perf_counter()

@@ -238,14 +238,54 @@ def _sig_with_hashset(spark: SparkSession, sf_dir: str) -> DataFrame:
     r1, Performance); carrying the raw shingle arrays instead (round 2's
     first attempt) made the bucket shuffle itself the bottleneck.
     """
+    return _sig_with_hashset_df(scatter(load_table(spark, sf_dir, "documents")))
+
+
+def _sig_with_hashset_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, hs, s0..s15) from any ``(doc_id, text)`` relation — the
+    DataFrame-level form of :func:`_sig_with_hashset`, reused by the bench
+    harness's replica-corpus survivors probe."""
     ex = (
-        scatter(load_table(spark, sf_dir, "documents"))
+        docs
         .select("doc_id", F.explode(th.shingles(tokens("text"))).alias("s"))
         .select("doc_id", th.shingle_hash(F.col("s")).alias("h"))
     )
     return ex.groupBy("doc_id").agg(
         F.collect_set("h").alias("hs"),
         *[e.alias(c) for c, e in zip(_SIG_COLS, th.minhash_min_exprs(F.col("h")))],
+    )
+
+
+def minhash_pairs_from_docs(docs: DataFrame) -> DataFrame:
+    """Verified near-dup pairs from any ``(doc_id, text)`` relation.
+
+    The exact dedup_minhash_pairs pipeline (single-scan signatures, band
+    buckets with the MAX_LSH_BUCKET cap, in-bucket rounded-Jaccard verify)
+    parameterized on its input, so the bench can run it against corpora the
+    fixture catalog does not know (e.g. the x16 replica corpus)."""
+    sig = _sig_with_hashset_df(docs)
+    bands = sig.select(
+        F.struct("doc_id", "hs").alias("doc"),
+        F.posexplode(
+            F.array(*th.band_signature_exprs([F.col(c) for c in _SIG_COLS]))
+        ).alias("band_idx", "band_sig"),
+    )
+    buckets = (
+        bands.groupBy("band_idx", "band_sig")
+        .agg(F.collect_list("doc").alias("docs"))
+        .filter(F.size("docs").between(2, MAX_LSH_BUCKET))
+    )
+    return (
+        buckets.select(F.explode("docs").alias("a"), "docs")
+        .select("a", F.explode("docs").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dround(_jaccard(F.col("a.hs"), F.col("b.hs")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .distinct()
     )
 
 
@@ -291,30 +331,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic per pair, so a post-filter distinct (on small rows — the
     # hash arrays are already dropped) collapses the duplicates exactly as
     # the oracle's DISTINCT candidate CTE does.
-    sig = _sig_with_hashset(spark, sf_dir)
-    bands = sig.select(
-        F.struct("doc_id", "hs").alias("doc"),
-        F.posexplode(
-            F.array(*th.band_signature_exprs([F.col(c) for c in _SIG_COLS]))
-        ).alias("band_idx", "band_sig"),
-    )
-    buckets = (
-        bands.groupBy("band_idx", "band_sig")
-        .agg(F.collect_list("doc").alias("docs"))
-        .filter(F.size("docs").between(2, MAX_LSH_BUCKET))
-    )
-    return (
-        buckets.select(F.explode("docs").alias("a"), "docs")
-        .select("a", F.explode("docs").alias("b"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            dround(_jaccard(F.col("a.hs"), F.col("b.hs")), 4).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .distinct()
-    )
+    return minhash_pairs_from_docs(scatter(load_table(spark, sf_dir, "documents")))
 
 
 @register(

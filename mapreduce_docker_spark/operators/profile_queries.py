@@ -66,3 +66,32 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.*")
+
+
+@register(
+    "profile_orders_columns_approx",
+    None,  # HLL++ estimates are engine-specific -> rows-only
+    section="A7,U4",
+    note="100 TB twin of profile_orders_columns: approx_count_distinct (HLL++, rsd=0.01) per column in ONE pass with no Expand — mergeable sketch state instead of the exact multi-stream distinct; estimate-vs-exact tolerance pinned in tests/test_sketches.py",
+)
+def profile_orders_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_table(spark, sf_dir, _PROFILE_TABLE)
+    aggs = [F.count(F.lit(1)).alias("_n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"_nn_{c}"))
+        aggs.append(F.approx_count_distinct(c, rsd=0.01).alias(f"_nd_{c}"))
+    wide = t.agg(*aggs)
+    return wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        (F.col("_n_rows") - F.col(f"_nn_{c}")).alias("n_nulls"),
+                        F.col(f"_nd_{c}").alias("n_distinct_approx"),
+                    )
+                    for c in _PROFILE_COLS
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")

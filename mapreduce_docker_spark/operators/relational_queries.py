@@ -1407,14 +1407,34 @@ def json_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_order_keys",
     """
     SELECT o_custkey,
-           list(o_orderkey ORDER BY o_orderkey) AS order_keys,
+           array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS order_keys_csv,
            CAST(len(list(o_orderkey)) AS INTEGER) AS n_orders
     FROM orders WHERE o_custkey < 200 GROUP BY o_custkey
     """,
     section="A7,F:array",
-    note="collect_list with explicit sort_array == DuckDB list(... ORDER BY): list-valued aggregation made deterministic (raw collect order is partition-dependent)",
+    note="collect_list with explicit sort_array == DuckDB list(... ORDER BY), emitted as a canonical comma-joined string so the list-valued aggregate is hashable by any comparator (the array-typed twin agg_collect_order_keys_array keeps the native type, rows-only)",
 )
 def agg_collect_order_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_custkey") < 200)
+        .groupBy("o_custkey")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("o_orderkey"))).alias(
+                "order_keys_csv"
+            ),
+            F.count(F.lit(1)).cast("int").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "agg_collect_order_keys_array",
+    None,  # array<bigint> output is not hashable by the driver's canonicalizer
+    section="A7,F:array",
+    note="array-typed twin of agg_collect_order_keys: keeps the native ArrayType output exercised (rows-only); value equivalence to the canonical string form is pinned in tests/test_oracle_parity.py",
+)
+def agg_collect_order_keys_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = _t(spark, sf_dir, "orders")
     return (
         orders.filter(F.col("o_custkey") < 200)

@@ -311,15 +311,18 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_important_stock",
     f"""
     WITH val AS (
-      SELECT l_partkey, sum(l_extendedprice * l_quantity) AS part_value
+      SELECT l_partkey, {rsql('sum(l_extendedprice * l_quantity)', 2)} AS part_value
       FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
                     JOIN nation   ON s_nationkey = n_nationkey
       WHERE n_name = 'NATION_5'
       GROUP BY l_partkey
     )
-    SELECT l_partkey, {rsql('part_value', 2)} AS part_value
+    -- both comparison sides are rounded (cut-line discipline): an unrounded
+    -- order-dependent sum could flip membership for a near-tie under the
+    -- driver's exact value hash
+    SELECT l_partkey, part_value
     FROM val
-    WHERE part_value > (SELECT sum(part_value) * CAST(0.001 AS DOUBLE) FROM val)
+    WHERE part_value > {rsql('(SELECT sum(part_value) * CAST(0.001 AS DOUBLE) FROM val)', 2)}
     """,
     section="A7,J2",
     note="TPC-H Q11 shape: grouped value filtered by a fraction-of-global-total "
@@ -334,16 +337,24 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
         .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value"))
+        # round the per-part value BEFORE the threshold compare: the raw sum
+        # is summation-order-dependent, and the cut line must compare the
+        # same rounded values on both engines (cut-line discipline, cf.
+        # sim_ann_ivf / text_curation_pipeline)
+        .agg(
+            dround(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias(
+                "part_value"
+            )
+        )
     )
     # the global total rides a zero-column window (one tiny row per part by
     # then); this keeps ONE lineitem scan instead of the cross-join-with-agg
     # decorrelation's two
     total = F.sum("part_value").over(Window.partitionBy())
     return (
-        val.withColumn("_threshold", total * F.lit(0.001))
+        val.withColumn("_threshold", dround(total * F.lit(0.001), 2))
         .filter(F.col("part_value") > F.col("_threshold"))
-        .select("l_partkey", dround(F.col("part_value"), 2).alias("part_value"))
+        .select("l_partkey", "part_value")
     )
 
 
@@ -382,14 +393,17 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q15_top_supplier",
     f"""
     WITH revenue AS (
+      -- rounded INSIDE the view: the max-equality cut line below must
+      -- compare identical rounded doubles on both engines, not raw
+      -- order-dependent sums
       SELECT l_suppkey AS supplier_no,
-             sum(l_extendedprice * (1.0 - l_discount)) AS total_revenue
+             {rsql('sum(l_extendedprice * (1.0 - l_discount))', 2)} AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate <  TIMESTAMP '1996-04-01'
       GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, {rsql('total_revenue', 2)} AS total_revenue
+    SELECT s_suppkey, s_name, total_revenue
     FROM supplier JOIN revenue ON s_suppkey = supplier_no
     WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
     """,
@@ -405,7 +419,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < _ts("1996-04-01"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(_revenue()).alias("total_revenue"))
+        # rounded before the max-equality compare (cut-line discipline):
+        # max over identical rounded values selects the same row set on
+        # both engines, where a raw-sum near-tie could diverge by an ulp
+        .agg(dround(F.sum(_revenue()), 2).alias("total_revenue"))
     )
     # MAX over the derived relation via a zero-column window: one row per
     # supplier exists by then (tiny), and the lineitem scan happens ONCE —
@@ -415,9 +432,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         revenue.withColumn("_best", best)
         .filter(F.col("total_revenue") == F.col("_best"))
         .join(supp, F.col("s_suppkey") == F.col("supplier_no"))
-        .select(
-            "s_suppkey", "s_name", dround(F.col("total_revenue"), 2).alias("total_revenue")
-        )
+        .select("s_suppkey", "s_name", "total_revenue")
     )
 
 

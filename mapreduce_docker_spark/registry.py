@@ -11,8 +11,9 @@ Discipline (driver compare is column-name + value-hash based):
 * float aggregates are rounded identically on both sides;
 * integer sums are BIGINT on both sides (DuckDB SUM(int) yields HUGEINT —
   always cast in the oracle);
-* the oracle's ``events`` view keeps ns timestamps — oracle SQL must cast
-  ``ts::TIMESTAMP`` to match the engine's µs normalization.
+* the oracle's ``events`` view may carry ns timestamps (fixture-generation
+  dependent) — oracle SQL casts ``ts::TIMESTAMP`` to match the engine's µs
+  normalization (a no-op when the fixture is already µs).
 """
 
 from __future__ import annotations
@@ -89,88 +90,139 @@ def _load_all() -> None:
 
 
 # The driver verifies the FIRST 50 entries of queries() in iteration order
-# against the DuckDB oracle; round 1 spent the whole window on wordcount +
-# relational and left dedup/similarity/text/multimodal/udf/streaming with no
-# driver verdict. This window hand-picks 50 queries so every SURVEY §2
-# family lands at least one oracle-carrying entry inside the checked prefix;
-# everything else follows in registration order. Round 2 swaps six slots
-# that re-verified round-1-green queries for the new round-2 shapes
-# (decorrelated TPC-H, one-pass Q21, multires rollup, VARIANT), keeping
-# wordcount/q1/q5 + one join per type as regression canaries.
+# against the DuckDB oracle. Rounds 1+2 hand-picked windows covered 89 of
+# the registry; round 3 rotates the window onto the 45 queries that never
+# sat inside a driver window (all remaining TPC-H join forms, the curation
+# pipeline, connected-components clusters, profiling, symspell, sketches,
+# the rest of the text family, and the streaming rows-only entries) plus
+# the repaired agg_collect_order_keys and its new array twin, keeping
+# wordcount/q1/one-dedup/one-window as regression canaries. After this
+# round every registered query has a driver verdict.
 _PRIORITY_WINDOW = (
-    # P1-P3 / A1-A5 / T1 (wordcount core)
+    # canaries (driver-green in r1/r2)
     "wordcount",
-    "q2_min_cost_supplier",
-    "q21_waiting_suppliers_onepass",
-    # A7 / J1 / J2 / P5 canaries (TPC-H shapes, green in round 1)
     "q1_pricing_summary",
-    "q5_local_supplier",
-    "q13_customer_distribution",
-    # J1-J4 joins
-    "join_semi_urgent_customers",
-    "join_theta_acctbal_band",
-    "q17_small_quantity_revenue",
-    # A4/A7 aggregates (driver-unverified in round 1)
-    "agg_percentiles_by_segment",
-    "agg_pivot_status_by_segment",
-    "agg_stats_quantity_price",
-    "agg_collect_order_keys",
-    "agg_approx_distinct_users",
-    "skew_salted_user_value_sums",
-    # windows
-    "window_event_gaps",
-    "window_distribution_ranks",
-    "window_running_spend",
-    # scalar function families
-    "scalar_datetime_events",
-    "scalar_interval_orders",
-    "json_event_props",
-    "map_hof_event_props",
-    "json_variant_events",
-    "array_hof_embeddings",
-    # SQL-string interface + sampling
-    "sql_interface_revenue_by_nation",
-    "events_multires_rollup",
-    # U4 text analysis
-    "text_token_stats",
-    "text_tfidf_top_term",
-    "text_langid_nb",
-    "text_pii_scrub",
-    # U1/U2 dedup
-    "dedup_exact_groups",
-    "dedup_exact_survivors",
     "dedup_minhash_pairs",
-    "dedup_minhash_survivors",
-    "dedup_simhash",
-    "dedup_embedding_pairs",
-    "sketch_cms_heavy_hitters",
-    # U3 similarity
-    "sim_cosine_topk",
-    "sim_ann_srp",
-    "sim_ann_ivf",
-    # U5 multimodal
-    "multimodal_meta_by_source",
-    "multimodal_features",
-    # J4 as-of / range
-    "asof_purchase_prior_view",
-    "range_join_events_in_order_window",
-    # U6 UDF surface
-    "udf_pandas_saturation",
-    "udf_applyinpandas_zscore",
-    "udf_udtf_bigrams",
-    "udf_cogroup_user_conversion",
-    # ST5/ST7 event-time windows
-    "events_tumbling_10m",
-    "events_session_5m",
+    "window_running_spend",
+    # A7/F:array — repaired canonicalization (r2's one red row) + twin
+    "agg_collect_order_keys",
+    "agg_collect_order_keys_array",
+    # TPC-H join forms never inside a window
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_item_losses",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q19_discounted_revenue",
+    "q20_potential_part_promotion",
+    "q21_waiting_suppliers",
+    # aggregates / sketches / sampling / profiling
+    "agg_unpivot_balances",
+    "agg_hll_sketch_union_users",
+    "agg_approx_percentiles",
+    "json_map_entries",
+    "sample_events_bernoulli",
+    "profile_orders_columns",
+    "profile_orders_columns_approx",
+    "sketch_cms_counters",
+    # U4 text family (remaining)
+    "text_symspell_vocab_pairs",
+    "text_bigrams_top30",
+    "text_quality_score",
+    "text_lang_source_rollup",
+    "text_fingerprint",
+    "text_repetition_filter",
+    "text_chunk_windows",
+    "text_ml_pipeline_tfidf",
+    "text_curation_pipeline",
+    # U1/U2/U3 dedup + similarity (remaining)
+    "dedup_jaccard_sample",
+    "dedup_minhash_signatures",
+    "dedup_simhash_buckets",
+    "dedup_minhash_clusters",
+    "dedup_embedding_clusters",
+    "sim_label_cohesion",
+    "sim_brp_lsh_ml",
+    # U6 / U5 remaining
+    "udf_pandas_udaf_geomean",
+    "multimodal_frame_stats",
+    # ST5-ST7 event-time + streaming rows-only family
+    "events_sliding_10m_5m",
+    "streaming_wordcount",
+    "streaming_tumbling_counts",
+    "streaming_session_windows",
+    "streaming_foreachbatch_sink",
+    "streaming_dedup_within_watermark",
+    "streaming_stateful_user_counts",
+    "streaming_stream_stream_join",
 )
+
+
+# Priority-window names defined in modules _load_all may legitimately skip
+# when an optional third-party dep (pandas/pyarrow) is absent. all_specs()
+# drops these from the window (logged) instead of raising, so a missing
+# optional dep degrades one family rather than the whole query surface;
+# tests/test_registry.py pins this map against the real registrations.
+_OPTIONAL_MODULE_QUERIES: dict[str, frozenset[str]] = {
+    "mapreduce_docker_spark.operators.udf_queries": frozenset(
+        {
+            "udf_pandas_saturation",
+            "udf_applyinpandas_zscore",
+            "udf_udtf_bigrams",
+            "udf_cogroup_user_conversion",
+            "udf_pandas_udaf_geomean",
+        }
+    ),
+    "mapreduce_docker_spark.operators.multimodal_queries": frozenset(
+        {
+            "multimodal_meta_by_source",
+            "multimodal_features",
+            "multimodal_frame_stats",
+        }
+    ),
+    "mapreduce_docker_spark.streaming.window_queries": frozenset(
+        {
+            "events_tumbling_10m",
+            "events_sliding_10m_5m",
+            "events_multires_rollup",
+            "events_session_5m",
+            "streaming_tumbling_counts",
+            "streaming_dedup_within_watermark",
+            "streaming_stateful_user_counts",
+            "streaming_transform_with_state",
+            "streaming_foreachbatch_sink",
+            "streaming_wordcount",
+            "streaming_stream_stream_join",
+            "streaming_session_windows",
+        }
+    ),
+}
 
 
 def all_specs() -> dict[str, QuerySpec]:
     _load_all()
-    missing = [n for n in _PRIORITY_WINDOW if n not in _REGISTRY]
+    window = list(_PRIORITY_WINDOW)
+    missing = [n for n in window if n not in _REGISTRY]
     if missing:
-        raise RuntimeError(f"priority window references unknown queries: {missing}")
-    ordered = {n: _REGISTRY[n] for n in _PRIORITY_WINDOW}
+        skippable: set[str] = set()
+        for mod, names in _OPTIONAL_MODULE_QUERIES.items():
+            if mod in SKIPPED_MODULES:
+                skippable |= names
+        unknown = [n for n in missing if n not in skippable]
+        if unknown:
+            raise RuntimeError(f"priority window references unknown queries: {unknown}")
+        import warnings
+
+        warnings.warn(
+            "priority window dropped (optional dep absent, see SKIPPED_MODULES): "
+            f"{missing}",
+            stacklevel=2,
+        )
+        dropped = set(missing)
+        window = [n for n in window if n not in dropped]
+    ordered = {n: _REGISTRY[n] for n in window}
     ordered.update((n, s) for n, s in _REGISTRY.items() if n not in ordered)
     return ordered
 

@@ -35,6 +35,10 @@ _DEFAULTS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.files.maxPartitionBytes": "50m",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # write TIMESTAMP as INT64 µs, not legacy INT96: INT96 carries no
+    # min/max statistics, so range-partitioned layouts would lose rowgroup
+    # pruning on timestamp keys (tests/test_layout.py pins this)
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.sql.autoBroadcastJoinThreshold": "64m",

@@ -6,12 +6,15 @@ reference coordinator.py:20-44) for the driver's parquet fixtures
 predicate pushdown and column pruning that the reference hand-rolled or
 lacked entirely.
 
-The only normalization needed: ``events.ts`` is physically
-TIMESTAMP(NANOS) which Spark cannot scan natively; with
-``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as a raw
-nanosecond LongType and is floor-divided to microseconds here — the exact
-truncation DuckDB applies when casting TIMESTAMP_NS -> TIMESTAMP, so engine
-and oracle see identical values.
+Normalization handles both fixture generations: ``events.ts`` written as
+TIMESTAMP(NANOS) (Spark cannot scan it natively; with
+``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as a raw ns
+LongType and is floor-divided to µs — the exact truncation DuckDB applies
+casting TIMESTAMP_NS -> TIMESTAMP), and timestamps written as plain
+µs-without-timezone (arrive as TIMESTAMP_NTZ under Spark 4's NTZ
+inference; cast to TIMESTAMP under the pinned-UTC session tz, the same
+instant DuckDB's naive read yields). Either way engine and oracle see
+identical values.
 """
 
 from __future__ import annotations
@@ -50,6 +53,9 @@ BROADCAST_SAFE = frozenset({"region", "nation"})
 _RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
+    # TIMESTAMP (ltz) columns otherwise write as legacy INT96, which has no
+    # min/max stats — sinks would silently lose rowgroup/range pruning
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 
@@ -119,6 +125,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
         )
+    # fixtures written as plain µs-without-timezone arrive as TIMESTAMP_NTZ
+    # under Spark 4's NTZ inference; normalize to TIMESTAMP so tz-typed
+    # functions (unix_micros, F.window, ...) resolve. The session tz is
+    # pinned UTC (_RUNTIME_CONFS), so the cast reinterprets the same wall
+    # clock as the same UTC instant — values identical to DuckDB's naive
+    # TIMESTAMP read of the same file.
+    for fname, ftype in df.dtypes:
+        if ftype == "timestamp_ntz":
+            df = df.withColumn(fname, F.col(fname).cast("timestamp"))
     return df
 
 

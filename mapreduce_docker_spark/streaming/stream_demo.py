@@ -48,8 +48,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(os.path.abspath(path), link)
     schema = spark.read.parquet(path).schema
     raw = spark.readStream.schema(schema).parquet(stage)
-    if dict((f.name, f.dataType.simpleString()) for f in schema).get("ts") == "bigint":
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in schema).get("ts")
+    if ts_type == "bigint":
         raw = raw.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    elif ts_type == "timestamp_ntz":
+        # µs-without-timezone fixture: same normalization as the batch
+        # catalog (session tz pinned UTC, so the instant is unchanged)
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 

@@ -48,7 +48,9 @@ def _normalize(rows, columns):
         if isinstance(v, float):
             if math.isnan(v):
                 return ("f", "nan")
-            return ("f", repr(round(v, 9)))
+            # exact repr, mirroring the driver's exact value hash — queries
+            # are required to round identically on both sides themselves
+            return ("f", repr(v))
         if isinstance(v, int):
             return ("i", v)
         if isinstance(v, (list, tuple)):

@@ -177,6 +177,25 @@ def test_embedding_lsh_single_embeddings_scan(spark, specs):
     assert plan.count("embeddings.parquet") == 1, plan
 
 
+def test_curation_single_documents_scan(spark, specs):
+    """The curation pipeline must tokenize `documents` ONCE.
+
+    Round 2 tokenized twice (its own metrics pass + the MinHash signature
+    pass); round 3 computes metrics AND signatures in one combined-explode
+    aggregation and persists the per-doc base, so both the gate side and
+    the near-dup drop side read the SAME materialized relation. The plan
+    therefore shows the documents scan only inside the cached-plan
+    description (<= 2 textual occurrences, one per InMemoryTableScan
+    branch), and execution computes it once (mirrors
+    test_minhash_pipeline_single_documents_scan's scale rationale).
+    """
+    plan = _plan(spark, specs, "text_curation_pipeline")
+    assert plan.count("InMemoryTableScan") == 2, plan
+    assert plan.count("documents.parquet") <= 2, plan
+    # tokenization stays JVM-side in the shared base
+    assert "BatchEvalPython" not in plan
+
+
 def test_cms_single_documents_scan(spark, specs):
     """Both CMS queries cost ONE corpus scan: the sketch is built from the
     word-count aggregate, and point queries re-explode cell members instead

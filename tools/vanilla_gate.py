@@ -45,7 +45,10 @@ def normalize(rows, columns):
         if isinstance(v, float):
             if math.isnan(v):
                 return ("f", "nan")
-            return ("f", repr(round(v, 9)))
+            # EXACT repr, no rounding: the driver's gate is an exact value
+            # hash, so any tolerance here would let the gate pass on drift
+            # the driver flags — queries must round on BOTH sides themselves
+            return ("f", repr(v))
         if isinstance(v, int):
             return ("i", v)
         if isinstance(v, (list, tuple)):
