@@ -29,6 +29,8 @@ from mapreduce_docker_spark.sources.catalog import load_table
 
 # DuckDB twin of functions.tokenize.tokens()
 _SQL_TOKS = "regexp_extract_all(lower(text), '[a-z]+')"
+# DuckDB twin of texthash.shingles(tokens(...)) (3-gram word shingles)
+_SQL_SHINGLES_TA = th.sql_shingles(_SQL_TOKS)
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "for", "on")
 
@@ -955,4 +957,104 @@ def _curation_dropped(base: DataFrame) -> DataFrame:
         )
         .select(F.col("b.doc_id").alias("doc_id"))
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-shard sequence packing + n-gram decontamination
+# ---------------------------------------------------------------------------
+# Two pipeline stages downstream of curation. Packing: training shards want
+# fixed token-budget sequences, so documents are concatenated per lang in a
+# deterministic order and sliced at budget boundaries — each doc's global
+# start offset is a window cumsum, from which its bin and in-bin offset are
+# pure integer arithmetic (exact on both engines, no float cut lines). At
+# 100 TB, contiguity only needs to hold WITHIN a shard, so the partition
+# key becomes (lang, shard_salt) and each salted partition packs
+# independently — the window never sees a whole-language total order.
+# Decontamination: a corpus doc sharing any 3-token shingle with the
+# benchmark/eval set must be flagged before training. The benchmark side is
+# small by construction (eval sets are thousands of docs, not billions), so
+# its distinct-shingle set broadcasts and the corpus pays one scan + one
+# broadcast-hash semi-ish join — never a corpus-x-corpus shuffle.
+
+PACK_TOKEN_BUDGET = 256
+DECON_BENCH_MAX_DOC = 20  # fixture stand-in for the benchmark/eval set
+
+
+@register(
+    "text_pack_sequences",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                  - n_tokens AS BIGINT) AS start_offset
+      FROM d WHERE n_tokens > 0
+    )
+    SELECT doc_id, lang, n_tokens, start_offset,
+           CAST(start_offset // {PACK_TOKEN_BUDGET} AS BIGINT) AS bin_id,
+           CAST(start_offset % {PACK_TOKEN_BUDGET} AS BIGINT) AS bin_offset
+    FROM o
+    """,
+    section="U4,U6",
+    note=f"training-shard sequence packing: per-lang deterministic concatenation order, global start offset via window cumsum, bin = offset DIV {PACK_TOKEN_BUDGET} / in-bin offset = offset MOD {PACK_TOKEN_BUDGET} — exact integer arithmetic on both engines; at scale the partition key gains a shard salt so packing never needs a whole-language total order",
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.size(tokens("text")).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        start.alias("start_offset"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "start_offset",
+        F.expr(f"start_offset DIV {PACK_TOKEN_BUDGET}").alias("bin_id"),
+        (F.col("start_offset") % PACK_TOKEN_BUDGET).alias("bin_offset"),
+    )
+
+
+@register(
+    "text_decontaminate_ngram",
+    f"""
+    WITH d AS (SELECT doc_id, {_SQL_SHINGLES_TA} AS sh FROM documents),
+    bench AS (
+      SELECT DISTINCT unnest(sh) AS s FROM d WHERE doc_id < {DECON_BENCH_MAX_DOC}
+    ),
+    corp AS (
+      SELECT doc_id, unnest(list_distinct(sh)) AS s FROM d
+      WHERE doc_id >= {DECON_BENCH_MAX_DOC}
+    )
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared_shingles
+    FROM corp c JOIN bench b ON b.s = c.s
+    GROUP BY c.doc_id
+    """,
+    section="U1,U4",
+    note=f"n-gram decontamination: corpus docs sharing any 3-token shingle with the benchmark set (doc_id < {DECON_BENCH_MAX_DOC} stands in for the eval set) are flagged with their distinct-shingle hit count; benchmark shingles broadcast (eval sets are bounded), corpus pays one scan + a broadcast hash join — no corpus-x-corpus shuffle",
+)
+def text_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id", th.shingles(tokens("text")).alias("sh")
+    )
+    bench = (
+        d.filter(F.col("doc_id") < DECON_BENCH_MAX_DOC)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    corp = d.filter(F.col("doc_id") >= DECON_BENCH_MAX_DOC).select(
+        "doc_id", F.explode(F.array_distinct("sh")).alias("s")
+    )
+    return (
+        corp.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )

@@ -185,10 +185,16 @@ def test_curation_single_documents_scan(spark, specs):
     aggregation and persists the per-doc base, so both the gate side and
     the near-dup drop side read the SAME materialized relation. The plan
     therefore shows the documents scan only inside the cached-plan
-    description (<= 2 textual occurrences, one per InMemoryTableScan
-    branch), and execution computes it once (mirrors
+    description (one textual occurrence per InMemoryTableScan branch), and
+    execution computes it once (mirrors
     test_minhash_pipeline_single_documents_scan's scale rationale).
+
+    The cache is cleared first: a cached relation MATERIALIZED by an
+    earlier test prints its stored adaptive plan twice (Final + Initial),
+    which would double the textual scan count without any extra physical
+    scan.
     """
+    spark.catalog.clearCache()
     plan = _plan(spark, specs, "text_curation_pipeline")
     assert plan.count("InMemoryTableScan") == 2, plan
     assert plan.count("documents.parquet") <= 2, plan
