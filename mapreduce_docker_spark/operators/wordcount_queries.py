@@ -79,3 +79,90 @@ def q_wordcount_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_wordcount_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wc.total_tokens(wc.word_counts(load_table(spark, sf_dir, "documents"), "text"))
+
+
+@register(
+    "wordcount_rdd",
+    _TOKENS_CTE + "SELECT word, count(*) AS cnt FROM toks GROUP BY word",
+    section="A1-A3,P1-P3",
+    note="the reference's RDD-shaped path as a driver-checkable query: flatMap -> (w,1) -> reduceByKey (map-side combiner == reference worker.py:15); same oracle as the DataFrame flagship, proving path equality under the value hash. API-parity demo — the DataFrame path is the hot path",
+)
+def q_wordcount_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+    from operator import add
+
+    from mapreduce_docker_spark.operators.rdd_parity import to_df
+
+    # maximal [a-z]+ runs over lowered text — the engine/oracle tokenizer
+    # (rdd_parity's strict \b variant is the rows-only twin, see
+    # wordcount_strict_top20)
+    lines = load_table(spark, sf_dir, "documents").select("text").rdd.map(
+        lambda r: r[0]
+    )
+    pairs = (
+        lines.flatMap(lambda s: re.findall(r"[a-z]+", s.lower()))
+        .map(lambda w: (w, 1))
+        .reduceByKey(add)
+    )
+    return to_df(spark, pairs)
+
+
+@register(
+    "wordcount_tsv_roundtrip",
+    _TOKENS_CTE + "SELECT word, count(*) AS cnt FROM toks GROUP BY word",
+    section="S5,T2",
+    note="TSV sink round-trip as a driver-checkable query: word counts written frequency-descending to a headerless tab-separated file (reference coordinator.py:131-134) and read back typed; same oracle as wordcount, so the sink is proven value-preserving under the hash",
+)
+def q_wordcount_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from mapreduce_docker_spark.sources.text import write_tsv
+
+    counts = wc.ranked(wc.word_counts(load_table(spark, sf_dir, "documents"), "text"))
+    out = os.path.join(
+        tempfile.gettempdir(), f"wc_tsv_{abs(hash(os.path.abspath(sf_dir)))}"
+    )
+    write_tsv(counts, out)
+    return spark.read.schema("word string, cnt bigint").option("sep", "\t").csv(out)
+
+
+@register(
+    "bootstrap_zip_wordcount",
+    """
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT word, count(*) AS cnt FROM toks GROUP BY word
+    """,
+    section="S1-S3,A1-A2",
+    note="bootstrap fetch+unzip+glob as a driver-checkable query (reference coordinator.py:20-44): a deterministic zip of the first 100 documents is staged once, fetch_corpus pulls it over file:// and extracts, spark.read.text globs the result, and the word count matches the same documents' oracle — proving the staging path is value-preserving. The zip build collects 100 bounded rows (one-time fixture staging, not an operator path)",
+)
+def q_bootstrap_zip_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import zipfile
+
+    from mapreduce_docker_spark.sources.bootstrap import fetch_corpus
+    from mapreduce_docker_spark.sources.text import read_text_corpus
+
+    h = abs(hash(os.path.abspath(sf_dir)))
+    zip_path = os.path.join(tempfile.gettempdir(), f"bootstrap_{h}.zip")
+    corpus_dir = os.path.join(tempfile.gettempdir(), f"bootstrap_corpus_{h}")
+    if not os.path.exists(zip_path):
+        rows = (
+            load_table(spark, sf_dir, "documents")
+            .filter("doc_id < 100")
+            .select("doc_id", "text")
+            .collect()
+        )
+        txt = "\n".join(r["text"].replace("\n", " ") for r in sorted(rows))
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            zf.writestr("corpus_part0.txt", txt)
+        os.replace(tmp, zip_path)
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+    fetch_corpus(f"file://{zip_path}", corpus_dir)
+    return wc.word_counts(read_text_corpus(spark, corpus_dir + "/*.txt"), "value")
