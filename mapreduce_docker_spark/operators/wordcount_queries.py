@@ -82,6 +82,54 @@ def q_wordcount_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wordcount_console_top20",
+    _TOKENS_CTE
+    + """,
+    t AS (
+      SELECT word, cnt FROM (
+        SELECT word, count(*) AS cnt FROM toks GROUP BY word
+      ) ORDER BY cnt DESC, word ASC LIMIT 20
+    ),
+    r AS (
+      SELECT word, cnt,
+             row_number() OVER (ORDER BY cnt DESC, word ASC) AS rank,
+             max(length(word)) OVER () AS width
+      FROM t
+    )
+    SELECT CAST(rank AS INTEGER) AS rank,
+           lpad(CAST(rank AS VARCHAR), 4, ' ') || '. ' ||
+           rpad(word, CAST(width AS INTEGER), ' ') || '  ' ||
+           lpad(format('{:,}', cnt), 15, ' ') AS line
+    FROM r
+    """,
+    section="S6,T1",
+    note="formatted console sink as a driver-checkable relation (reference coordinator.py:123-129): rank, word width-aligned to the longest word shown, thousands-separated counts — the exact f-string spec rendered as SQL on both engines; sources/text.py:format_topk is the driver-side twin",
+)
+def q_wordcount_console_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    top = wc.top_k(wc.word_counts(load_table(spark, sf_dir, "documents"), "text"), 20)
+    rank = F.row_number().over(
+        Window.orderBy(F.desc("cnt"), F.asc("word"))
+    )
+    width = F.max(F.length("word")).over(
+        Window.partitionBy()
+    )
+    r = top.select("word", "cnt", rank.alias("rank"), width.alias("width"))
+    line = F.concat(
+        F.lpad(F.col("rank").cast("string"), 4, " "),
+        F.lit(". "),
+        # SQL-expr form: pyspark's rpad wants a literal width, but the
+        # alignment width is data-dependent (longest word shown)
+        F.expr("rpad(word, width, ' ')"),
+        F.lit("  "),
+        F.lpad(F.format_number("cnt", 0), 15, " "),
+    )
+    return r.select(F.col("rank").cast("int").alias("rank"), line.alias("line"))
+
+
+@register(
     "wordcount_rdd",
     _TOKENS_CTE + "SELECT word, count(*) AS cnt FROM toks GROUP BY word",
     section="A1-A3,P1-P3",
