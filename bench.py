@@ -131,13 +131,20 @@ def _dedup_scaling_probe(spark) -> dict:
 
     base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
 
-    def run_once(mult: int) -> float:
+    def replicate(mult: int):
+        """x`mult` corpus: doc_id remapped and a replica token prepended so
+        replicas neither collapse into exact dups nor inflate any single
+        LSH bucket past its cap. Shared by the scaling and survivors probes
+        so both measure the same corpus construction."""
         reps = F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("rep")
-        docs = base.select("doc_id", "text", reps).select(
+        return base.select("doc_id", "text", reps).select(
             (F.col("doc_id") * mult + F.col("rep")).alias("doc_id"),
             F.concat(F.lit("rep"), F.col("rep"), F.lit(" v"), F.col("rep"),
                      F.lit(" "), F.col("text")).alias("text"),
         ).repartition(spark.sparkContext.defaultParallelism)
+
+    def run_once(mult: int) -> float:
+        docs = replicate(mult)
         ex = docs.select(
             "doc_id", F.explode(th.shingles(tokens("text"))).alias("s")
         ).select("doc_id", th.shingle_hash(F.col("s")).alias("h"))
@@ -173,13 +180,7 @@ def _dedup_scaling_probe(spark) -> dict:
         minhash_pairs_from_docs,
     )
 
-    mult = 16
-    reps = F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("rep")
-    docs16 = base.select("doc_id", "text", reps).select(
-        (F.col("doc_id") * mult + F.col("rep")).alias("doc_id"),
-        F.concat(F.lit("rep"), F.col("rep"), F.lit(" v"), F.col("rep"),
-                 F.lit(" "), F.col("text")).alias("text"),
-    ).repartition(spark.sparkContext.defaultParallelism)
+    docs16 = replicate(16)
     pairs16 = minhash_pairs_from_docs(docs16)
     survivors16 = docs16.select("doc_id").join(
         pairs16.select(F.col("doc_b").alias("doc_id")).distinct(),

@@ -222,8 +222,8 @@ def _sig_cols_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sig_with_hashset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, hs, s0..s15) from ONE ``documents`` scan.
+def _sig_with_hashset_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, hs, s0..s15) from ONE scan of a ``(doc_id, text)`` relation.
 
     ``hs`` is the doc's DISTINCT 31-bit shingle-hash set — the exact values
     the MinHash mins are taken over — collected by the same partial agg that
@@ -237,14 +237,9 @@ def _sig_with_hashset(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputing it 3-4x was round 1's one named scale-killer — VERDICT.md
     r1, Performance); carrying the raw shingle arrays instead (round 2's
     first attempt) made the bucket shuffle itself the bottleneck.
+    Parameterized on the input relation so the bench harness can run the
+    same pipeline against replica corpora the fixture catalog doesn't know.
     """
-    return _sig_with_hashset_df(scatter(load_table(spark, sf_dir, "documents")))
-
-
-def _sig_with_hashset_df(docs: DataFrame) -> DataFrame:
-    """(doc_id, hs, s0..s15) from any ``(doc_id, text)`` relation — the
-    DataFrame-level form of :func:`_sig_with_hashset`, reused by the bench
-    harness's replica-corpus survivors probe."""
     ex = (
         docs
         .select("doc_id", F.explode(th.shingles(tokens("text"))).alias("s"))

@@ -734,6 +734,10 @@ def text_symspell_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         grouped.filter(F.size("ws").between(2, SYMSPELL_MAX_BUCKET))
         .select(F.explode("ws").alias("x"), "ws")
         .select("x", F.explode("ws").alias("y"))
+        # emit each unordered pair once (x < y) — least/greatest below is
+        # then an identity for this branch; only the overcap branch's
+        # (key, member) rows need canonicalization
+        .filter(F.col("x") < F.col("y"))
     )
     # over-cap exemption: a key that is itself a word (every word's key set
     # contains itself, so k IN ws <=> k is in the vocabulary) emits its
@@ -924,10 +928,11 @@ def _curation_dropped(base: DataFrame) -> DataFrame:
 
     The dedup_minhash_pairs band/bucket/verify pipeline re-expressed over
     the shared curation base (same band exprs, same bucket cap, same
-    rounded-Jaccard threshold). Docs with fewer than SHINGLE_K tokens have
-    no shingles — in the standalone pipeline they never enter the sig
-    relation, so filter their null signatures out before banding (their
-    empty hash-sets could otherwise all collide in a null-sig bucket).
+    rounded-Jaccard threshold). Every doc in ``base`` carries at least one
+    shingle — ``th.shingles`` falls back to a single whole-text shingle
+    for docs shorter than SHINGLE_K tokens — so the signature columns are
+    never null and all docs enter banding, exactly as in the standalone
+    pipeline and its oracle.
     """
     from mapreduce_docker_spark.operators.dedup_queries import (
         _SIG_COLS,
@@ -936,8 +941,7 @@ def _curation_dropped(base: DataFrame) -> DataFrame:
         _jaccard,
     )
 
-    sig = base.filter(F.col("s0").isNotNull())
-    bands = sig.select(
+    bands = base.select(
         F.struct("doc_id", "hs").alias("doc"),
         F.posexplode(
             F.array(*th.band_signature_exprs([F.col(c) for c in _SIG_COLS]))

@@ -162,15 +162,17 @@ def q_wordcount_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
     note="TSV sink round-trip as a driver-checkable query: word counts written frequency-descending to a headerless tab-separated file (reference coordinator.py:131-134) and read back typed; same oracle as wordcount, so the sink is proven value-preserving under the hash",
 )
 def q_wordcount_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
     import os
     import tempfile
 
     from mapreduce_docker_spark.sources.text import write_tsv
 
     counts = wc.ranked(wc.word_counts(load_table(spark, sf_dir, "documents"), "text"))
-    out = os.path.join(
-        tempfile.gettempdir(), f"wc_tsv_{abs(hash(os.path.abspath(sf_dir)))}"
-    )
+    # stable digest, NOT hash(): PYTHONHASHSEED salts hash() per process,
+    # which would mint a fresh /tmp dir every run instead of reusing one
+    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wc_tsv_{h}")
     write_tsv(counts, out)
     return spark.read.schema("word string, cnt bigint").option("sep", "\t").csv(out)
 
@@ -188,6 +190,7 @@ def q_wordcount_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     note="bootstrap fetch+unzip+glob as a driver-checkable query (reference coordinator.py:20-44): a deterministic zip of the first 100 documents is staged once, fetch_corpus pulls it over file:// and extracts, spark.read.text globs the result, and the word count matches the same documents' oracle — proving the staging path is value-preserving. The zip build collects 100 bounded rows (one-time fixture staging, not an operator path)",
 )
 def q_bootstrap_zip_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
     import os
     import shutil
     import tempfile
@@ -196,7 +199,9 @@ def q_bootstrap_zip_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_docker_spark.sources.bootstrap import fetch_corpus
     from mapreduce_docker_spark.sources.text import read_text_corpus
 
-    h = abs(hash(os.path.abspath(sf_dir)))
+    # stable digest so the zip really is staged once per fixture dir
+    # (hash() is PYTHONHASHSEED-salted per process)
+    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     zip_path = os.path.join(tempfile.gettempdir(), f"bootstrap_{h}.zip")
     corpus_dir = os.path.join(tempfile.gettempdir(), f"bootstrap_corpus_{h}")
     if not os.path.exists(zip_path):

@@ -210,6 +210,13 @@ def all_specs() -> dict[str, QuerySpec]:
         for mod, names in _OPTIONAL_MODULE_QUERIES.items():
             if mod in SKIPPED_MODULES:
                 skippable |= names
+        # per-query gates record themselves as "<query_name> (query)" keys
+        # (e.g. the protobuf-gated streaming_transform_with_state) — honor
+        # those too, so rotating a gated name into the window degrades
+        # gracefully instead of hard-raising
+        skippable |= {
+            n for n in missing if any(n in key for key in SKIPPED_MODULES)
+        }
         unknown = [n for n in missing if n not in skippable]
         if unknown:
             raise RuntimeError(f"priority window references unknown queries: {unknown}")

@@ -26,6 +26,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def _path_digest(path: str) -> str:
+    """Stable 12-hex digest of a path for /tmp staging-dir names.
+
+    ``hash()`` is PYTHONHASHSEED-salted per process — using it would mint a
+    fresh staging dir (and leak the old one) on every driver start.
+    """
+    import hashlib
+
+    return hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table (schema from a batch peek).
 
@@ -40,7 +51,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the file stream source requires a DIRECTORY; stage a symlink dir so the
     # read-only fixture file can be streamed without copying data
     stage = os.path.join(
-        tempfile.gettempdir(), f"events_stream_{abs(hash(os.path.abspath(path)))}"
+        tempfile.gettempdir(), f"events_stream_{_path_digest(path)}"
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
@@ -258,7 +269,7 @@ def run_streaming_wordcount(
 
     path = f"{sf_dir}/documents.parquet"
     stage = os.path.join(
-        tempfile.gettempdir(), f"docs_stream_{abs(hash(os.path.abspath(path)))}"
+        tempfile.gettempdir(), f"docs_stream_{_path_digest(path)}"
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "documents.parquet")
