@@ -1027,6 +1027,45 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 5  # test gets the remainder
+
+
+@register(
+    "text_train_val_split",
+    f"""
+    WITH a AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 100 AS BIGINT) AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM a
+    """,
+    section="U1,U4,ST4",
+    note=f"deterministic train/val/test assignment by content-independent key hash (md5(doc_id) mod 100 -> {SPLIT_TRAIN_PCT}/{SPLIT_VAL_PCT}/{100 - SPLIT_TRAIN_PCT - SPLIT_VAL_PCT}): reproducible across engines, runs and cluster sizes — the split survives re-sharding because it depends only on the key, never on partition or row order",
+)
+def text_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 @register(
     "text_decontaminate_ngram",
     f"""
