@@ -96,8 +96,15 @@ def _load_all() -> None:
 # pipeline, connected-components clusters, profiling, symspell, sketches,
 # the rest of the text family, and the streaming rows-only entries) plus
 # the repaired agg_collect_order_keys and its new array twin, keeping
-# wordcount/q1/one-dedup/one-window as regression canaries. After this
-# round every registered query has a driver verdict.
+# wordcount/q1/one-dedup/one-window as regression canaries.
+#
+# ROUND 4 ROTATION NOTE: the 7 queries registered after this window was
+# frozen still need a first driver verdict — text_pack_sequences,
+# text_decontaminate_ngram, text_train_val_split, wordcount_rdd,
+# wordcount_tsv_roundtrip, wordcount_console_top20,
+# bootstrap_zip_wordcount (all green in tools/vanilla_gate.py, the local
+# driver replica). Swap them in for r3-green rows next round; everything
+# else will then have a cumulative driver verdict.
 _PRIORITY_WINDOW = (
     # canaries (driver-green in r1/r2)
     "wordcount",
