@@ -58,6 +58,28 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize",
+    """
+    WITH a AS (
+      SELECT doc_id,
+             array_to_string(list_transform(generate_series(1, length(text), 2),
+               i -> substr(text, CAST(i AS INTEGER), 1)), '') AS small
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(small) AS INTEGER) AS n_bytes,
+           sha256(small) AS sha256
+    FROM a
+    """,
+    section="U5,U6",
+    note="resize/downsample stub via mapInPandas: every-2nd-byte payload stride, new payload + refreshed metadata out, Arrow end-to-end (a deployment swaps the slicer for PIL resize / ffmpeg resample). Fixture payloads are ASCII, so the byte stride is SQL-expressible and even this Python path is hash-checked; on real media the check degrades to rows-only",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = mm.with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return mm.resize_payload(assets, factor=2).select("doc_id", "n_bytes", "sha256")
+
+
+@register(
     "multimodal_frame_stats",
     None,  # mapInPandas frame slicing; deterministic but kept rows-only to exercise the weaker check path
     section="U5,U6",

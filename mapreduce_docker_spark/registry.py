@@ -98,13 +98,14 @@ def _load_all() -> None:
 # the repaired agg_collect_order_keys and its new array twin, keeping
 # wordcount/q1/one-dedup/one-window as regression canaries.
 #
-# ROUND 4 ROTATION NOTE: the 7 queries registered after this window was
+# ROUND 4 ROTATION NOTE: the 8 queries registered after this window was
 # frozen still need a first driver verdict — text_pack_sequences,
 # text_decontaminate_ngram, text_train_val_split, wordcount_rdd,
 # wordcount_tsv_roundtrip, wordcount_console_top20,
-# bootstrap_zip_wordcount (all green in tools/vanilla_gate.py, the local
-# driver replica). Swap them in for r3-green rows next round; everything
-# else will then have a cumulative driver verdict.
+# bootstrap_zip_wordcount, multimodal_resize (all green in
+# tools/vanilla_gate.py, the local driver replica). Swap them in for
+# r3-green rows next round; everything else will then have a cumulative
+# driver verdict.
 _PRIORITY_WINDOW = (
     # canaries (driver-green in r1/r2)
     "wordcount",
@@ -186,6 +187,7 @@ _OPTIONAL_MODULE_QUERIES: dict[str, frozenset[str]] = {
         {
             "multimodal_meta_by_source",
             "multimodal_features",
+            "multimodal_resize",
             "multimodal_frame_stats",
         }
     ),
