@@ -190,18 +190,21 @@ def q_wordcount_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     note="bootstrap fetch+unzip+glob as a driver-checkable query (reference coordinator.py:20-44): a deterministic zip of the first 100 documents is staged once, fetch_corpus pulls it over file:// and extracts, spark.read.text globs the result, and the word count matches the same documents' oracle — proving the staging path is value-preserving. The zip build collects 100 bounded rows (one-time fixture staging, not an operator path)",
 )
 def q_bootstrap_zip_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import os
     import shutil
     import tempfile
     import zipfile
 
     from mapreduce_docker_spark.sources.bootstrap import fetch_corpus
+    from mapreduce_docker_spark.sources.catalog import fixture_digest
     from mapreduce_docker_spark.sources.text import read_text_corpus
 
-    # stable digest so the zip really is staged once per fixture dir
-    # (hash() is PYTHONHASHSEED-salted per process)
-    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # digest keyed on fixture CONTENT, not just path: the test-data
+    # generator rewrites documents.parquet in place between rounds, and a
+    # path-keyed cache would keep answering from the stale zip while the
+    # oracle reads the fresh fixture (hash() is PYTHONHASHSEED-salted,
+    # hence the md5 inside fixture_digest)
+    h = fixture_digest(sf_dir, "documents")
     zip_path = os.path.join(tempfile.gettempdir(), f"bootstrap_{h}.zip")
     corpus_dir = os.path.join(tempfile.gettempdir(), f"bootstrap_corpus_{h}")
     if not os.path.exists(zip_path):

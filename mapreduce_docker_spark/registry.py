@@ -222,10 +222,10 @@ def all_specs() -> dict[str, QuerySpec]:
         # per-query gates record themselves as "<query_name> (query)" keys
         # (e.g. the protobuf-gated streaming_transform_with_state) — honor
         # those too, so rotating a gated name into the window degrades
-        # gracefully instead of hard-raising
-        skippable |= {
-            n for n in missing if any(n in key for key in SKIPPED_MODULES)
-        }
+        # gracefully instead of hard-raising. Exact-key match only: a
+        # substring test would let an unrelated gate key silently absorb a
+        # query that failed to register.
+        skippable |= {n for n in missing if f"{n} (query)" in SKIPPED_MODULES}
         unknown = [n for n in missing if n not in skippable]
         if unknown:
             raise RuntimeError(f"priority window references unknown queries: {unknown}")

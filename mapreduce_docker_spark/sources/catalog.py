@@ -112,6 +112,34 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
         pass  # workers sharing the driver's cwd still import the package
 
 
+def fixture_digest(sf_dir: str, name: str) -> str:
+    """Cheap content digest of one fixture table: (relpath, size, mtime_ns).
+
+    The test-data generator rewrites fixtures IN PLACE between rounds, so
+    anything cached per fixture (a staged zip, a persisted per-doc base)
+    must key on content, not path — a path-keyed cache would keep serving
+    the previous round's data. Stat-level hashing detects a rewrite without
+    reading file bytes; works for single-file and directory-style parquet.
+    """
+    import hashlib
+
+    src = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
+    paths = (
+        [
+            os.path.join(dirpath, f)
+            for dirpath, _, files in os.walk(src)
+            for f in sorted(files)
+        ]
+        if os.path.isdir(src)
+        else [src]
+    )
+    parts = [src]
+    for p in sorted(paths):
+        st = os.stat(p)
+        parts.append(f"{os.path.relpath(p, src)}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalizing physical-type quirks."""
     if name not in TABLES:
