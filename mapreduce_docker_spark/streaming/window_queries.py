@@ -267,7 +267,13 @@ else:
     SKIPPED_MODULES["streaming_transform_with_state (query)"] = (
         "google.protobuf: missing/broken — transformWithStateInPandas needs it "
         "for the state-server protocol; run_transform_with_state_counts in "
-        "stream_demo.py is the gated implementation"
+        "stream_demo.py is the gated implementation. Conclusively unresolvable "
+        "in this container (verified r4): no protobuf/grpc anywhere in "
+        "site-packages, nothing vendored inside pyspark.zip, and pip has no "
+        "index reachable (`pip download protobuf` -> 'no matching "
+        "distribution'), so neither an install nor a vendored wheel is "
+        "possible. The applyInPandasWithState twin covers ST7 semantics and "
+        "is asserted equal to the batch groupBy in tests/test_streaming.py."
     )
 
 
