@@ -50,6 +50,7 @@ HEADLINE = [
     "q21_waiting_suppliers_onepass",  # same oracle, window rewrite: 1 lineitem scan
     "dedup_embedding_pairs",        # SRP-band LSH near-dup + Hamming-gated verify
     "text_curation_pipeline",       # composed quality/repetition/near-dup gates
+    "sim_ann_srp_banded",           # 24-band ANN reusing the near-dup geometry
 ]
 
 
@@ -170,31 +171,46 @@ def _dedup_scaling_probe(spark) -> dict:
     # min-of-2 per multiplier: single-shot timings at this duration are
     # GC/scheduling-noisy enough to come out non-monotonic (round 1's x4 >
     # x16), which contradicts the linearity claim the probe exists to make
-    out = {f"x{m}": round(min(run_once(m) for _ in range(2)), 3) for m in (1, 4, 16)}
+    out = {
+        f"x{m}": round(min(run_once(m) for _ in range(2)), 3)
+        for m in (1, 4, 16, 64)
+    }
     out["x16_over_x1"] = round(out["x16"] / out["x1"], 2)
+    out["x64_over_x16"] = round(out["x64"] / out["x16"], 2)
 
     # full pairs+survivors at x16: the corpus size where tokenize dominates,
     # so the single-scan signature rewrite's saved re-scan is visible in
-    # wall clock (at sf0.1 x1 it is noise — VERDICT.md r2, perf #5)
+    # wall clock (at sf0.1 x1 it is noise — VERDICT.md r2, perf #5).
+    # The Observation records the salted-LSH routing metrics at this scale:
+    # max_bucket/routed_members are the MEASURED evidence that the bucket
+    # cap stays a no-op on an 800k-doc corpus (r3 verdict asked for this
+    # claim to survive a bigger corpus, not just the fixture).
+    from pyspark.sql import Observation
+
     from mapreduce_docker_spark.operators.dedup_queries import (
         minhash_pairs_from_docs,
     )
 
     docs16 = replicate(16)
-    pairs16 = minhash_pairs_from_docs(docs16)
-    survivors16 = docs16.select("doc_id").join(
-        pairs16.select(F.col("doc_b").alias("doc_id")).distinct(),
-        "doc_id",
-        "left_anti",
-    )
 
-    def run_survivors() -> float:
+    def run_survivors(obs=None) -> float:
+        pairs16 = minhash_pairs_from_docs(docs16, observation=obs)
+        survivors16 = docs16.select("doc_id").join(
+            pairs16.select(F.col("doc_b").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
         t0 = time.perf_counter()
         survivors16.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
     run_survivors()  # codegen warm-up
-    out["survivors_x16"] = round(min(run_survivors() for _ in range(2)), 3)
+    obs = Observation("bench_lsh_route_x16")
+    first = run_survivors(obs)
+    out["survivors_x16"] = round(min(first, run_survivors()), 3)
+    metrics = obs.get
+    out["x16_max_bucket"] = metrics["max_bucket"]
+    out["x16_routed_members"] = metrics["routed_members"]
     return out
 
 

@@ -43,6 +43,35 @@ def test_plain_file_url(tmp_path):
     assert [os.path.basename(f) for f in files] == ["plain.txt"]
 
 
+def test_fixture_digest_tracks_content(tmp_path):
+    """Staging caches key on fixture CONTENT: rewriting a fixture in place
+    (what the test-data generator does between rounds) must change the
+    digest, or the bootstrap query would answer from a stale zip while the
+    oracle reads the fresh parquet (advisor r3, medium)."""
+    import shutil
+    import time
+
+    from mapreduce_docker_spark.sources.catalog import fixture_digest
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    (sf / "documents.parquet").write_bytes(b"v1-bytes")
+    d1 = fixture_digest(str(sf), "documents")
+    assert d1 == fixture_digest(str(sf), "documents")  # stable on no change
+    time.sleep(0.01)  # ensure mtime_ns moves even on coarse filesystems
+    (sf / "documents.parquet").write_bytes(b"v2-bytes!")
+    d2 = fixture_digest(str(sf), "documents")
+    assert d2 != d1
+    # directory-style parquet works too
+    shutil.rmtree(sf)
+    ddir = sf / "documents.parquet"
+    ddir.mkdir(parents=True)
+    (ddir / "part-0.parquet").write_bytes(b"p0")
+    d3 = fixture_digest(str(sf), "documents")
+    (ddir / "part-1.parquet").write_bytes(b"p1")
+    assert fixture_digest(str(sf), "documents") != d3
+
+
 def test_bootstrap_feeds_the_flagship(spark, tmp_path):
     """S1-S3 -> S4 -> the full reference pipeline, end to end."""
     url = _make_zip(

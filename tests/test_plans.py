@@ -218,6 +218,29 @@ def test_langid_grid_not_broadcast(spark, specs):
         assert m.group(1) != "word", plan
 
 
+def test_pack_sequences_single_scan_no_self_join(spark, specs):
+    """Sequence packing must be ONE documents scan + ONE window cumsum: the
+    textbook alternative (aggregate per-lang totals, self-join back for the
+    running offset) pays a second corpus scan and a join — at shard scale
+    the window over (lang) is the whole cost, so the shape is the claim."""
+    plan = _plan(spark, specs, "text_pack_sequences")
+    assert plan.count("documents.parquet") == 1, plan
+    assert "Window [sum(" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, specs):
+    """Decontamination joins the corpus against the BENCHMARK shingle set;
+    eval sets are bounded, so that side must broadcast — a shuffle here
+    would hash-partition the entire corpus's shingles for a join against
+    thousands of rows. The corpus side must never be the build side."""
+    plan = _plan(spark, specs, "text_decontaminate_ngram")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    # both relations derive from documents.parquet; corpus + bench = 2 scans
+    assert plan.count("documents.parquet") == 2, plan
+
+
 def test_cms_single_documents_scan(spark, specs):
     """Both CMS queries cost ONE corpus scan: the sketch is built from the
     word-count aggregate, and point queries re-explode cell members instead
