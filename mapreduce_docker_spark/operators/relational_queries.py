@@ -1562,6 +1562,52 @@ def sample_events_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_stratified_hash",
+    """
+    SELECT event_id, event_type, CAST(rate_pct AS BIGINT) AS rate_pct FROM (
+      SELECT event_id, event_type,
+             CASE WHEN event_type IN ('error', 'purchase') THEN 50 ELSE 10 END
+               AS rate_pct,
+             ('0x' || substr(md5('samp:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+               % 100 AS bucket
+      FROM events
+    ) WHERE bucket < rate_pct
+    """,
+    section="P5,ST4,U1",
+    note="deterministic stratified sampling by key hash (md5(event_id) mod "
+    "100 < per-stratum rate; error/purchase oversampled 50% vs 10% — the "
+    "rare-class-oversampling move of training-data curation). Unlike the "
+    "seeded-RNG sampleBy twin (rows-only), membership depends only on the "
+    "key: reproducible across engines, runs, partitionings and cluster "
+    "sizes, hence FULLY oracle-checked row for row",
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("samp:"), F.col("event_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    rate = (
+        F.when(F.col("event_type").isin("error", "purchase"), F.lit(50))
+        .otherwise(F.lit(10))
+        .cast("long")
+    )
+    return (
+        events.select(
+            "event_id", "event_type", rate.alias("rate_pct"), bucket.alias("bucket")
+        )
+        .filter(F.col("bucket") < F.col("rate_pct"))
+        .select("event_id", "event_type", "rate_pct")
+    )
+
+
+@register(
     "agg_pivot_status_by_segment",
     """
     SELECT c.c_mktsegment,

@@ -370,6 +370,69 @@ def sim_ann_srp_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_quantize_int8",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, v,
+             list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS scale
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id, v, scale,
+             list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+      FROM s WHERE scale > 0
+    )
+    SELECT vec_id,
+           {rsql('scale', 6)} AS scale,
+           array_to_string(qv, '|') AS q_str,
+           CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_saturated,
+           {rsql("list_aggregate(list_transform(generate_series(1, len(v)), i -> abs(v[i] - qv[i] * scale)), 'max')", 6)} AS max_abs_err
+    FROM q
+    """,
+    section="U3,U5",
+    note="symmetric int8 vector quantization (vector-store compression: "
+    "scale = max|x|/127, q = round-half-up(x/scale)): 4x smaller ANN scan "
+    "payload with bounded per-element error <= scale/2 (max_abs_err "
+    "certifies it). Quantized ints ride as a '|'-joined string because the "
+    "driver canonicalizer cannot hash array cells; every value is "
+    "deterministic double arithmetic, so the op is FULLY oracle-checked. "
+    "floor(x/s + 0.5) is the engine-exact rounding both engines share "
+    "(functions/rounding.py rationale)",
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = scatter(load_table(spark, sf_dir, "embeddings"))
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = emb.select("vec_id", v.alias("v"))
+    # the raw scale keeps an internal name: Spark 4's implicit LATERAL
+    # column alias would otherwise resolve `F.col("scale")` inside the err
+    # lambda to the ROUNDED output alias `scale` earlier in the same
+    # projection list, silently quantizing the error against the rounded
+    # scale (caught by the oracle: max_abs_err drifted at the 6th decimal)
+    s_raw = F.array_max(F.transform(F.col("v"), F.abs)) / F.lit(127.0)
+    q = d.select("vec_id", "v", s_raw.alias("s_raw")).filter(F.col("s_raw") > 0)
+    qv = F.transform(
+        F.col("v"), lambda x: F.floor(x / F.col("s_raw") + F.lit(0.5)).cast("long")
+    )
+    q = q.select("vec_id", "v", "s_raw", qv.alias("qv"))
+    err = F.zip_with(
+        F.col("v"), F.col("qv"), lambda x, qi: F.abs(x - qi * F.col("s_raw"))
+    )
+    return q.select(
+        "vec_id",
+        dround(F.col("s_raw"), 6).alias("scale"),
+        F.array_join(F.col("qv").cast("array<string>"), "|").alias("q_str"),
+        F.size(F.filter(F.col("qv"), lambda x: F.abs(x) == 127))
+        .cast("long")
+        .alias("n_saturated"),
+        dround(F.array_max(err), 6).alias("max_abs_err"),
+    )
+
+
+@register(
     "sim_label_cohesion",
     _SQL_UNIT
     + f""",

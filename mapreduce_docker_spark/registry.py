@@ -128,6 +128,8 @@ _PRIORITY_WINDOW = (
     # new in r4
     "agg_approx_distinct_tolerance",
     "sim_ann_srp_banded",
+    "sample_stratified_hash",
+    "emb_quantize_int8",
     # engine path changed in r4 (salted LSH routing / langid de-broadcast)
     "dedup_minhash_survivors",
     "dedup_minhash_clusters",
@@ -142,8 +144,6 @@ _PRIORITY_WINDOW = (
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue_share",
     "q17_small_quantity_revenue",
     "q18_large_orders",
     "q21_waiting_suppliers_onepass",

@@ -151,6 +151,29 @@ def test_bucket_cap_noop_on_organic_fixture(spark):
     assert m["max_bucket"] <= dq.MAX_LSH_BUCKET, m
 
 
+def test_salted_routing_is_cap_invariant(spark, monkeypatch):
+    """The bucket cap is an EXECUTION knob, not a semantic one: forcing a
+    tiny cap (4) routes every organic fixture bucket through multi-cell
+    salted pairing, and the verified pair set must be bit-identical to the
+    production cap's. This pins the exactly-once cell-emission algebra
+    (same-salt pairs in (s,s) only, cross-salt in {sa,sb} only) on real
+    data rather than one synthetic bucket."""
+    from mapreduce_docker_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    baseline = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dq.minhash_pairs_from_docs(docs).collect()
+    }
+    monkeypatch.setattr(dq, "MAX_LSH_BUCKET", 4)
+    routed = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dq.minhash_pairs_from_docs(docs).collect()
+    }
+    assert routed == baseline
+    assert len(baseline) == 28
+
+
 def test_cluster_labels_transitive(spark):
     """A~B, B~C => one cluster, even though A,C never paired directly."""
     from mapreduce_docker_spark.operators.dedup_queries import dedup_cluster_labels
