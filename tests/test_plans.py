@@ -202,6 +202,16 @@ def test_curation_single_documents_scan(spark, specs):
     assert "BatchEvalPython" not in plan
 
 
+def test_salted_lsh_adds_no_exchange(spark, specs):
+    """The salted-cell re-grouping must reuse the band shuffle's hash
+    partitioning (cell keys are a superset of the band keys): exactly three
+    exchanges — signature agg on doc_id, ONE band/cell shuffle, and the
+    final distinct. A fourth exchange would mean the routing re-shuffles
+    every band member, doubling the pipeline's dominant data movement."""
+    plan = _plan(spark, specs, "dedup_minhash_pairs")
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+
+
 def test_langid_grid_not_broadcast(spark, specs):
     """The NB model grid is |langs| x |vocab| — web-corpus vocabularies are
     1e7-1e8 terms, so a broadcast of the grid is a scale-killer (judge r3).
