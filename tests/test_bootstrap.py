@@ -72,6 +72,34 @@ def test_fixture_digest_tracks_content(tmp_path):
     assert fixture_digest(str(sf), "documents") != d3
 
 
+def test_bootstrap_query_tracks_fixture_rewrite(spark, tmp_path):
+    """End-to-end staleness regression (advisor r3, medium): the bootstrap
+    query stages a zip+extracted corpus in /tmp; when the fixture parquet is
+    REWRITTEN IN PLACE at the same path (what the test-data generator does
+    every round), the query must answer from the fresh content, not the
+    cached staging of the old content."""
+    import time
+
+    from mapreduce_docker_spark.registry import all_specs
+
+    fn = all_specs()["bootstrap_zip_wordcount"].fn
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, "alpha beta") for i in range(5)], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    first = {(r["word"], r["cnt"]) for r in fn(spark, sf).collect()}
+    assert first == {("alpha", 5), ("beta", 5)}
+    # second call with unchanged fixture reuses the staged corpus
+    assert {(r["word"], r["cnt"]) for r in fn(spark, sf).collect()} == first
+
+    time.sleep(0.01)  # mtime_ns must move even on coarse filesystems
+    spark.createDataFrame(
+        [(i, "gamma delta gamma") for i in range(5)], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    fresh = {(r["word"], r["cnt"]) for r in fn(spark, sf).collect()}
+    assert fresh == {("gamma", 10), ("delta", 5)}, fresh
+
+
 def test_bootstrap_feeds_the_flagship(spark, tmp_path):
     """S1-S3 -> S4 -> the full reference pipeline, end to end."""
     url = _make_zip(
