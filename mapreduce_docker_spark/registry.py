@@ -96,7 +96,9 @@ def _load_all() -> None:
 #   * the 8 queries that never had a driver verdict (bootstrap / TSV /
 #     console sinks, RDD path, multimodal resize, sequence packing,
 #     train/val split, decontamination — the r3 verdict's #1 ask);
-#   * the 2 queries NEW in r4 (approx-distinct tolerance, banded ANN);
+#   * the 5 queries NEW in r4 (approx-distinct tolerance, banded ANN,
+#     hash-stratified sampling, int8 quantization, and the incremental
+#     signature-store near-dedup — a streaming entry with a full oracle);
 #   * every query whose ENGINE PATH changed in r4 (salted LSH bucket
 #     routing: minhash pairs/survivors/clusters, embedding pairs/clusters,
 #     curation; de-broadcast langid) — so the driver re-certifies the
@@ -130,6 +132,7 @@ _PRIORITY_WINDOW = (
     "sim_ann_srp_banded",
     "sample_stratified_hash",
     "emb_quantize_int8",
+    "streaming_incremental_minhash_dedup",
     # engine path changed in r4 (salted LSH routing / langid de-broadcast)
     "dedup_minhash_survivors",
     "dedup_minhash_clusters",
@@ -143,7 +146,6 @@ _PRIORITY_WINDOW = (
     "q4_order_priority_check",
     "q5_local_supplier",
     "q6_forecast_revenue",
-    "q12_shipmode_priority",
     "q17_small_quantity_revenue",
     "q18_large_orders",
     "q21_waiting_suppliers_onepass",
@@ -199,6 +201,7 @@ _OPTIONAL_MODULE_QUERIES: dict[str, frozenset[str]] = {
             "events_session_5m",
             "streaming_tumbling_counts",
             "streaming_dedup_within_watermark",
+            "streaming_incremental_minhash_dedup",
             "streaming_stateful_user_counts",
             "streaming_transform_with_state",
             "streaming_foreachbatch_sink",

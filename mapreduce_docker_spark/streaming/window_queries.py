@@ -217,6 +217,54 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def _sql_incremental_dedup() -> str:
+    # the streaming flagged set provably equals the batch pipeline's
+    # dropped set (every verified pair is emitted in the batch where its
+    # later member arrives, and always flags the larger id), so the oracle
+    # is literally dedup_minhash_survivors' SQL
+    from mapreduce_docker_spark.functions.rounding import sql as rsql
+    from mapreduce_docker_spark.operators.dedup_queries import (
+        _SQL_SIG_CTE,
+        _sql_jaccard,
+        JACCARD_THRESHOLD,
+    )
+
+    return (
+        _SQL_SIG_CTE
+        + f""",
+    dropped AS (
+      SELECT DISTINCT c.doc_b
+      FROM cand c JOIN hs da ON da.doc_id = c.doc_a JOIN hs db ON db.doc_id = c.doc_b
+      WHERE {rsql(_sql_jaccard('da.hs', 'db.hs'), 4)} >= {JACCARD_THRESHOLD}
+    )
+    SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_b FROM dropped)
+    """
+    )
+
+
+@register(
+    "streaming_incremental_minhash_dedup",
+    _sql_incremental_dedup(),
+    section="ST6,U2",
+    note="incremental near-dedup: documents arrive in 4 micro-batches "
+    "(file stream, maxFilesPerTrigger=1); each batch's MinHash signatures "
+    "band against an accumulating parquet signature store, verified pairs "
+    "touching a new doc flag the larger id into a drop store. The flagged "
+    "union over batches provably equals the batch pipeline's dropped set "
+    "under any arrival order, so this STREAMING query carries a FULL SQL "
+    "oracle (dedup_minhash_survivors' SQL) — the grow-only corpus dedup "
+    "pattern: new crawl batches never re-pair the full history",
+)
+def streaming_incremental_minhash_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mapreduce_docker_spark.streaming.stream_demo import (
+        run_incremental_minhash_dedup,
+    )
+
+    return run_incremental_minhash_dedup(spark, sf_dir, run_id=uuid.uuid4().hex[:8])
+
+
 @register(
     "streaming_stateful_user_counts",
     None,  # custom GroupState operator: inherently streaming-only

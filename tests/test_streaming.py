@@ -249,3 +249,31 @@ def test_foreachbatch_sink_idempotent_and_equal_to_batch(spark, tmp_path):
         for r in run_foreachbatch_partitioned_sink(spark, sf, out, "fb_t2").collect()
     )
     assert again == batch
+
+
+def test_incremental_minhash_dedup_equals_batch(spark):
+    """The incremental signature-store dedup must converge to EXACTLY the
+    batch pipeline's survivor set: every verified near-dup pair is emitted
+    in the micro-batch where its later member arrives and always flags the
+    larger doc_id, so the flagged union is arrival-order invariant. This is
+    the grow-only-corpus dedup pattern (new crawl batches vs history) and
+    the reason the streaming query can carry a full SQL oracle."""
+    import uuid
+
+    from mapreduce_docker_spark.operators.dedup_queries import (
+        dedup_minhash_survivors,
+    )
+    from mapreduce_docker_spark.streaming.stream_demo import (
+        run_incremental_minhash_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        r["doc_id"]
+        for r in run_incremental_minhash_dedup(
+            spark, sf, run_id=f"t_{uuid.uuid4().hex[:8]}"
+        ).collect()
+    }
+    batch = {r["doc_id"] for r in dedup_minhash_survivors(spark, sf).collect()}
+    assert streamed == batch
+    assert len(batch) < 500  # fixture plants near-dups: something was dropped
