@@ -506,7 +506,9 @@ def run_incremental_minhash_dedup(
     if not os.path.isdir(stage) or len(_glob.glob(f"{stage}/chunk_*.parquet")) != 4:
         shutil.rmtree(stage, ignore_errors=True)
         hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1
-        tmp = stage + ".tmp"
+        # pid-suffixed build dir: concurrent sessions (pytest + driver) may
+        # stage the same digest; os.replace at the end keeps the swap atomic
+        tmp = f"{stage}.tmp.{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
         for k in range(4):
             lo_k, hi_k = k * hi // 4, (k + 1) * hi // 4
