@@ -1128,3 +1128,87 @@ def text_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training-shard assembly
+# ---------------------------------------------------------------------------
+
+
+def _sql_training_shards() -> str:
+    """Compose the full shard-assembly oracle from the registered stage SQLs.
+
+    The curation and decontamination oracles are reused VERBATIM as derived
+    tables (a WITH inside a subquery is legal SQL), so this composed oracle
+    cannot drift from its stages — any stage fix propagates automatically.
+    """
+    from mapreduce_docker_spark.registry import _REGISTRY
+
+    cur = _REGISTRY["text_curation_pipeline"].sql
+    dec = _REGISTRY["text_decontaminate_ngram"].sql
+    return f"""
+    SELECT doc_id, lang, n_tokens, start_offset,
+           CAST(start_offset // {PACK_TOKEN_BUDGET} AS BIGINT) AS bin_id,
+           CAST(start_offset % {PACK_TOKEN_BUDGET} AS BIGINT) AS bin_offset
+    FROM (
+      SELECT doc_id, lang, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                  - n_tokens AS BIGINT) AS start_offset
+      FROM (
+        SELECT k.doc_id, k.lang, CAST(k.n_tokens AS BIGINT) AS n_tokens
+        FROM ({cur}) k
+        WHERE k.doc_id >= {DECON_BENCH_MAX_DOC}
+          AND k.doc_id NOT IN (SELECT doc_id FROM ({dec}) c)
+          AND ('0x' || substr(md5('split:' || CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 100 < {SPLIT_TRAIN_PCT}
+          AND k.n_tokens > 0
+      ) f
+    ) o
+    """
+
+
+@register(
+    "text_training_shards",
+    _sql_training_shards(),
+    section="U1,U2,U4",
+    note="the END-TO-END shard assembly a training run consumes, composed "
+    "from the registered stages: curation gates (quality/repetition/near-dup "
+    "drop) -> benchmark exclusion + n-gram decontamination -> deterministic "
+    "train-split membership -> per-lang sequence packing. The oracle nests "
+    "the stage SQLs verbatim so it cannot drift from them; the engine path "
+    "reuses the stage functions (ONE tokenize via the persisted curation "
+    "base + the broadcast decontamination join + the packing window)",
+)
+def text_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = text_curation_pipeline(spark, sf_dir).select(
+        "doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+    contam = text_decontaminate_ngram(spark, sf_dir).select("doc_id")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    filtered = (
+        kept.filter(F.col("doc_id") >= DECON_BENCH_MAX_DOC)
+        .join(contam, "doc_id", "left_anti")
+        .filter(bucket < SPLIT_TRAIN_PCT)
+        .filter(F.col("n_tokens") > 0)
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    return filtered.select(
+        "doc_id", "lang", "n_tokens", start.alias("start_offset")
+    ).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "start_offset",
+        F.expr(f"start_offset DIV {PACK_TOKEN_BUDGET}").alias("bin_id"),
+        (F.col("start_offset") % PACK_TOKEN_BUDGET).alias("bin_offset"),
+    )

@@ -133,6 +133,7 @@ _PRIORITY_WINDOW = (
     "sample_stratified_hash",
     "emb_quantize_int8",
     "streaming_incremental_minhash_dedup",
+    "text_training_shards",
     # engine path changed in r4 (salted LSH routing / langid de-broadcast)
     "dedup_minhash_survivors",
     "dedup_minhash_clusters",
@@ -164,7 +165,6 @@ _PRIORITY_WINDOW = (
     "multimodal_features",
     "udf_pandas_saturation",
     "udf_applyinpandas_zscore",
-    "udf_udtf_bigrams",
     "udf_cogroup_user_conversion",
     "text_tfidf_top_term",
 )
