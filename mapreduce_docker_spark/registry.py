@@ -96,9 +96,10 @@ def _load_all() -> None:
 #   * the 8 queries that never had a driver verdict (bootstrap / TSV /
 #     console sinks, RDD path, multimodal resize, sequence packing,
 #     train/val split, decontamination — the r3 verdict's #1 ask);
-#   * the 5 queries NEW in r4 (approx-distinct tolerance, banded ANN,
-#     hash-stratified sampling, int8 quantization, and the incremental
-#     signature-store near-dedup — a streaming entry with a full oracle);
+#   * the queries NEW in r4 (approx-distinct tolerance, banded ANN,
+#     hash-stratified sampling, int8 quantization, the incremental
+#     signature-store near-dedup — a streaming entry with a full oracle —
+#     and the composed end-to-end training-shard assembly);
 #   * every query whose ENGINE PATH changed in r4 (salted LSH bucket
 #     routing: minhash pairs/survivors/clusters, embedding pairs/clusters,
 #     curation; de-broadcast langid) — so the driver re-certifies the
