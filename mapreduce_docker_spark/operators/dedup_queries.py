@@ -920,3 +920,113 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_cluster_labels(pairs, all_ids).select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-tile dedup: C4-style sub-document repetition removal
+# ---------------------------------------------------------------------------
+
+SPAN_TILE_TOKENS = 3
+
+
+@register(
+    "dedup_span_tiles",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+      WHERE len({_SQL_TOKS}) > 0
+    ),
+    tiled AS (
+      SELECT doc_id,
+             unnest(generate_series(0, nt - 1)) AS tile_idx,
+             unnest(list_transform(
+               generate_series(0, nt - 1),
+               i -> array_to_string(
+                 toks[i * {SPAN_TILE_TOKENS} + 1 : i * {SPAN_TILE_TOKENS} + {SPAN_TILE_TOKENS}],
+                 ' ')
+             )) AS tile
+      FROM (
+        SELECT doc_id, toks,
+               CAST(ceil(len(toks) / {float(SPAN_TILE_TOKENS)}) AS BIGINT) AS nt
+        FROM d
+      )
+    ),
+    marked AS (
+      SELECT doc_id, tile_idx, tile,
+             row_number() OVER (PARTITION BY tile ORDER BY doc_id, tile_idx) AS rn
+      FROM tiled
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tiles,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN tile END, ' ' ORDER BY tile_idx), '')
+             AS clean_text
+    FROM marked GROUP BY doc_id
+    """,
+    section="U1,U2,U4",
+    note=f"C4-style sub-document dedup: docs tiled into consecutive "
+    f"{SPAN_TILE_TOKENS}-token spans, every repeated tile occurrence removed "
+    "except the globally first (min (doc_id, tile_idx)); combiner-friendly "
+    "min-struct winner election instead of a window so hot boilerplate "
+    "tiles collapse map-side and AQE can skew-split the marking join",
+)
+def dedup_span_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove repeated k-token spans corpus-wide, keeping first occurrences.
+
+    The C4 pipeline drops every repeat of any three-sentence span across the
+    whole corpus (the boilerplate killer: nav bars, license headers, cookie
+    banners). Fixture docs have no sentence structure, so the unit here is
+    the non-overlapping 3-TOKEN tile — same algorithm, same shuffles.
+
+    Scale (100 TB): the winner per tile is ``min(struct(doc_id, tile_idx))``
+    under plain ``groupBy(tile)`` — a partial-aggregatable reduction, so a
+    boilerplate tile occurring a billion times collapses to one row per map
+    partition before the shuffle (the reference's combiner move, reference
+    worker.py:15). The alternative window formulation
+    (``row_number() over (partition by tile)``) would ship every occurrence
+    of the hottest tile to a single reducer with no combiner and no AQE
+    skew-split — exactly the skew trap the oracle SQL is allowed to keep
+    (same result, oracle-side scale is irrelevant). Marking then
+    shuffle-hash-joins occurrences to winners on ``tile`` (AQE splits hot
+    keys), and reassembly shuffles once more on unique ``doc_id``. The
+    documents scan runs twice (winner election + marking); carrying tile
+    arrays through the first shuffle instead would trade scan for shuffle
+    width — measured the wrong way round for a 2-column parquet scan.
+    """
+    toks_arr = tokens("text")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", toks_arr.alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+    nt = F.ceil(F.size("toks") / F.lit(float(SPAN_TILE_TOKENS))).cast("int")
+    tiles = F.transform(
+        F.sequence(F.lit(0), nt - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice("toks", i * SPAN_TILE_TOKENS + 1, SPAN_TILE_TOKENS)
+        ),
+    )
+    tiled = d.select("doc_id", F.posexplode(tiles).alias("tile_idx", "tile"))
+    winners = tiled.groupBy("tile").agg(
+        F.min(F.struct("doc_id", "tile_idx")).alias("w")
+    )
+    marked = tiled.join(winners.hint("shuffle_hash"), "tile").select(
+        "doc_id",
+        "tile_idx",
+        "tile",
+        (
+            (F.col("doc_id") == F.col("w.doc_id"))
+            & (F.col("tile_idx") == F.col("w.tile_idx"))
+        ).alias("kept"),
+    )
+    kept_struct = F.when(F.col("kept"), F.struct("tile_idx", "tile"))
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tiles"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["tile"]
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

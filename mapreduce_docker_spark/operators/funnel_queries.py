@@ -1,0 +1,188 @@
+"""Event-sequence analytics over ``events`` (SURVEY §2.5 windows + §2.4 A7).
+
+The reference has no event model at all — these queries extend the engine's
+analytic-window surface (SURVEY §2.5 [EXT]) to the two sequence shapes every
+product-analytics workload needs: a strictly-ordered conversion funnel and a
+first-order event-transition (Markov) matrix. Both are single-scan,
+window-function designs:
+
+* the funnel computes its per-user stage timestamps with THREE chained
+  unordered-frame window aggregates over the SAME ``user_id`` partitioning —
+  one Exchange feeds all three WindowExec passes (no self-joins, no
+  re-shuffle between stages), then one ordinary aggregation folds users into
+  stage rows. At 100 TB the only memory pressure is the per-user partition
+  buffer in WindowExec; users are bounded (events per user ≪ partition
+  budget) and a degenerate "bot" user would be handled by the same salting
+  pattern as operators/skew.py — noted, not needed for the fixture shapes.
+* the transition matrix is ``lag()`` over (user, time) then a grouped count
+  — the canonical sessionization shuffle, hash-partitioned on ``user_id``.
+
+Determinism discipline (driver value-hash oracle):
+* all time arithmetic is integer microseconds (``unix_micros`` /
+  ``epoch_us``) — sums of BIGINT are exact in any order; the single
+  float division happens once, at the end, under :func:`dround`;
+* ``lag`` ordering carries ``event_id`` as tiebreak (equal timestamps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduce_docker_spark.functions.rounding import dround
+from mapreduce_docker_spark.functions.rounding import sql as rsql
+from mapreduce_docker_spark.registry import register
+from mapreduce_docker_spark.sources.catalog import load_table
+
+_US_PER_HOUR = 3_600_000_000.0
+
+
+@register(
+    "events_funnel_conversion",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS us FROM events
+    ),
+    w1 AS (
+      SELECT user_id, event_type, us,
+             min(CASE WHEN event_type = 'view' THEN us END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM e
+    ),
+    w2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND us > t1 THEN us END)
+                  OVER (PARTITION BY user_id) AS t2
+      FROM w1
+    ),
+    w3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND us > t2 THEN us END)
+                  OVER (PARTITION BY user_id) AS t3
+      FROM w2
+    ),
+    u AS (
+      SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+      FROM w3 GROUP BY user_id
+    ),
+    f AS (
+      SELECT count(t1) AS c1, count(t2) AS c2, count(t3) AS c3,
+             CAST(coalesce(sum(t2 - t1), 0) AS BIGINT) AS s2,
+             CAST(coalesce(sum(t3 - t1), 0) AS BIGINT) AS s3
+      FROM u
+    )
+    SELECT stage, users, avg_hours_from_view FROM (
+      SELECT '1_view' AS stage, CAST(c1 AS BIGINT) AS users,
+             0.0 AS avg_hours_from_view FROM f
+      UNION ALL
+      SELECT '2_click', CAST(c2 AS BIGINT),
+             CASE WHEN c2 = 0 THEN 0.0
+                  ELSE {rsql("CAST(s2 AS DOUBLE) / c2 / 3600000000.0", 4)} END
+      FROM f
+      UNION ALL
+      SELECT '3_purchase', CAST(c3 AS BIGINT),
+             CASE WHEN c3 = 0 THEN 0.0
+                  ELSE {rsql("CAST(s3 AS DOUBLE) / c3 / 3600000000.0", 4)} END
+      FROM f
+    )
+    """,
+    section="W:analytic,A7",
+    note="strictly-ordered view->click->purchase funnel: per-user stage "
+    "timestamps via 3 chained unordered-frame windows on ONE user_id "
+    "exchange, stage counts + mean hours-to-stage folded from exact "
+    "integer-microsecond sums",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(w)
+    staged = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("us") > F.col("t1")), F.col("us"))
+    ).over(w)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("us") > F.col("t2")), F.col("us")
+        )
+    ).over(w)
+    staged = staged.withColumn("t3", t3)
+    per_user = staged.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
+    )
+    f = per_user.agg(
+        F.count("t1").alias("c1"),
+        F.count("t2").alias("c2"),
+        F.count("t3").alias("c3"),
+        F.coalesce(F.sum(F.col("t2") - F.col("t1")), F.lit(0)).alias("s2"),
+        F.coalesce(F.sum(F.col("t3") - F.col("t1")), F.lit(0)).alias("s3"),
+    )
+
+    def _avg(s: str, c: str) -> F.Column:
+        return F.when(F.col(c) == 0, F.lit(0.0)).otherwise(
+            dround(F.col(s).cast("double") / F.col(c) / F.lit(_US_PER_HOUR), 4)
+        )
+
+    stages = f.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("1_view").alias("stage"),
+                    F.col("c1").alias("users"),
+                    F.lit(0.0).alias("avg_hours_from_view"),
+                ),
+                F.struct(
+                    F.lit("2_click").alias("stage"),
+                    F.col("c2").alias("users"),
+                    _avg("s2", "c2").alias("avg_hours_from_view"),
+                ),
+                F.struct(
+                    F.lit("3_purchase").alias("stage"),
+                    F.col("c3").alias("users"),
+                    _avg("s3", "c3").alias("avg_hours_from_view"),
+                ),
+            )
+        ).alias("r")
+    )
+    return stages.select("r.stage", "r.users", "r.avg_hours_from_view")
+
+
+@register(
+    "events_transition_matrix",
+    f"""
+    WITH l AS (
+      SELECT event_type AS cur,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts::TIMESTAMP ASC, event_id ASC
+             ) AS prev
+      FROM events
+    ),
+    c AS (
+      SELECT prev, cur, CAST(count(*) AS BIGINT) AS cnt
+      FROM l WHERE prev IS NOT NULL GROUP BY prev, cur
+    )
+    SELECT prev, cur, cnt,
+           {rsql("cnt / CAST(sum(cnt) OVER (PARTITION BY prev) AS DOUBLE)", 4)} AS p
+    FROM c
+    """,
+    section="W:analytic,A7",
+    note="first-order event-transition (Markov) matrix: lag over (user, "
+    "time, event_id-tiebreak) then grouped counts; row-normalized via a "
+    "window sum over the 25-cell aggregate (no second scan)",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    lw = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    lagged = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lag("event_type").over(lw).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    counts = lagged.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cnt"))
+    norm = Window.partitionBy("prev")
+    return counts.select(
+        "prev",
+        "cur",
+        "cnt",
+        dround(F.col("cnt") / F.sum("cnt").over(norm).cast("double"), 4).alias("p"),
+    )

@@ -1212,3 +1212,63 @@ def text_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"start_offset DIV {PACK_TOKEN_BUDGET}").alias("bin_id"),
         (F.col("start_offset") % PACK_TOKEN_BUDGET).alias("bin_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM surprisal: the CCNet-style perplexity quality signal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_unigram_surprisal",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents
+    ),
+    wc AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
+    tot AS (SELECT count(*) AS n FROM toks)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           {rsql("(0.0 - sum(ln(wc.c / CAST(tot.n AS DOUBLE)))) / count(*)", 6)} AS avg_nll
+    FROM toks t JOIN wc USING (word) CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+    section="U4,A7",
+    note="unigram-LM surprisal per document (CCNet-style perplexity quality "
+    "signal): corpus-trained token probabilities, per-doc mean negative "
+    "log-likelihood in nats; the LM relation is vocabulary-sized so it "
+    "shuffle-joins on word (NOT broadcast — same 100 TB reasoning as "
+    "text_langid_nb), only the 1-row total is broadcast",
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram cross-entropy against the corpus LM.
+
+    The real-pipeline use is quality filtering: docs whose token
+    distribution diverges from the corpus (gibberish, boilerplate, wrong
+    language) score high. Smoothing is unnecessary — every scored token is
+    by construction in the training vocabulary (the LM is trained on the
+    same corpus), so ``p = c / N`` never hits zero.
+
+    Scale: one documents scan feeds both the LM aggregation and the scoring
+    join; the LM is |vocab| rows (1e7-1e8 at web scale) and is therefore
+    shuffle-hash-joined on ``word``, never broadcast. The final per-doc
+    aggregation shuffles on unique ``doc_id`` — clean hash partitioning.
+    Float discipline: ``ln`` inputs are bit-identical on both engines
+    (integer ratio under double division), a single rounded division closes
+    the query (same proof obligations as ``text_langid_nb``, driver-green).
+    """
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(tokens("text")).alias("word")
+    )
+    wc = toks.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    lp = F.log(F.col("c") / F.col("n").cast("double"))
+    return (
+        toks.join(wc.hint("shuffle_hash"), "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            dround((F.lit(0.0) - F.sum(lp)) / F.count(F.lit(1)), 6).alias("avg_nll"),
+        )
+    )

@@ -68,6 +68,7 @@ def _load_all() -> None:
         "asof",
         "udf",
         "profile",
+        "funnel",
     ):
         fq = f"mapreduce_docker_spark.operators.{mod}_queries"
         try:

@@ -1,0 +1,84 @@
+"""Semantic checks for the event-sequence analytics (funnel + transitions).
+
+The oracle-parity test proves engine == DuckDB on the fixtures; these pin
+the SEMANTICS on crafted micro-corpora where the right answer is computed
+by hand — strict stage ordering (a click BEFORE the first view must not
+count), stage gating, and row-stochastic normalization.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_docker_spark.operators import funnel_queries as fq
+from tests.conftest import SF_SMOKE
+
+_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+
+def _ev(eid, user, kind, minute):
+    return (eid, dt.datetime(2024, 1, 1, 0, minute, 0), user, kind, 1.0, "{}")
+
+
+@pytest.fixture()
+def crafted_dir(spark, tmp_path):
+    def write(rows):
+        spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "events.parquet"))
+        return str(tmp_path)
+
+    return write
+
+
+def test_funnel_strict_ordering(spark, crafted_dir):
+    sf_dir = crafted_dir(
+        [
+            # user 1: full ordered funnel view@1 -> click@2 -> purchase@3
+            _ev(1, 1, "view", 1),
+            _ev(2, 1, "click", 2),
+            _ev(3, 1, "purchase", 3),
+            # user 2: click BEFORE first view -> click stage not reached
+            _ev(4, 2, "click", 1),
+            _ev(5, 2, "view", 2),
+            _ev(6, 2, "purchase", 3),
+            # user 3: view only
+            _ev(7, 3, "view", 5),
+            # user 4: no view at all -> not even stage 1
+            _ev(8, 4, "purchase", 1),
+        ]
+    )
+    out = {r["stage"]: r for r in fq.events_funnel_conversion(spark, sf_dir).collect()}
+    assert out["1_view"]["users"] == 3
+    assert out["2_click"]["users"] == 1
+    assert out["3_purchase"]["users"] == 1
+    # user 1 converts view(min@1) -> purchase(min@3): 2 minutes
+    assert out["3_purchase"]["avg_hours_from_view"] == round(2 / 60, 4)
+
+
+def test_funnel_purchase_requires_click_first(spark, crafted_dir):
+    # view -> purchase with NO intervening click: purchase stage empty
+    sf_dir = crafted_dir([_ev(1, 1, "view", 1), _ev(2, 1, "purchase", 2)])
+    out = {r["stage"]: r for r in fq.events_funnel_conversion(spark, sf_dir).collect()}
+    assert out["1_view"]["users"] == 1
+    assert out["2_click"]["users"] == 0
+    assert out["3_purchase"]["users"] == 0
+    assert out["3_purchase"]["avg_hours_from_view"] == 0.0
+
+
+def test_transition_matrix_rows_are_stochastic(spark):
+    tm = fq.events_transition_matrix(spark, SF_SMOKE)
+    sums = tm.groupBy("prev").agg(F.sum("p").alias("s"), F.sum("cnt").alias("n")).collect()
+    assert sums, "fixture events should produce transitions"
+    for r in sums:
+        # each cell rounds to 4dp, so a row of k cells drifts < k * 5e-5
+        assert abs(r["s"] - 1.0) < 5 * 5e-5
+    n_pairs = tm.agg(F.sum("cnt")).collect()[0][0]
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # every event except each user's first contributes exactly one transition
+    assert n_pairs == n_events - n_users
