@@ -100,7 +100,9 @@ def _load_all() -> None:
 #   * the queries NEW in r4 (approx-distinct tolerance, banded ANN,
 #     hash-stratified sampling, int8 quantization, the incremental
 #     signature-store near-dedup — a streaming entry with a full oracle —
-#     and the composed end-to-end training-shard assembly);
+#     the composed end-to-end training-shard assembly, the funnel /
+#     transition-matrix event analytics, C4-style span-tile dedup, and
+#     unigram-LM surprisal scoring);
 #   * every query whose ENGINE PATH changed in r4 (salted LSH bucket
 #     routing: minhash pairs/survivors/clusters, embedding pairs/clusters,
 #     curation; de-broadcast langid) — so the driver re-certifies the
@@ -136,6 +138,10 @@ _PRIORITY_WINDOW = (
     "emb_quantize_int8",
     "streaming_incremental_minhash_dedup",
     "text_training_shards",
+    "events_funnel_conversion",
+    "events_transition_matrix",
+    "dedup_span_tiles",
+    "text_unigram_surprisal",
     # engine path changed in r4 (salted LSH routing / langid de-broadcast)
     "dedup_minhash_survivors",
     "dedup_minhash_clusters",
@@ -146,18 +152,14 @@ _PRIORITY_WINDOW = (
     # freshness spread: r1/r2 greens not re-checked since
     "q2_min_cost_supplier",
     "q3_shipping_priority",
-    "q4_order_priority_check",
     "q5_local_supplier",
     "q6_forecast_revenue",
-    "q17_small_quantity_revenue",
     "q18_large_orders",
     "q21_waiting_suppliers_onepass",
-    "q22_global_sales_opportunity",
     "sql_interface_revenue_by_nation",
     "asof_purchase_prior_view",
     "range_join_events_in_order_window",
     "skew_salted_user_value_sums",
-    "events_tumbling_10m",
     "events_multires_rollup",
     "events_session_5m",
     "sim_cosine_topk",
