@@ -258,3 +258,49 @@ def test_cms_single_documents_scan(spark, specs):
     for name in ("sketch_cms_counters", "sketch_cms_heavy_hitters"):
         plan = _plan(spark, specs, name)
         assert plan.count("documents.parquet") == 1, (name, plan)
+
+
+def test_funnel_single_user_exchange(spark, specs):
+    """The 3 chained stage windows must share ONE user_id exchange.
+
+    A naive 3-aggregation + join-back funnel would shuffle events on
+    user_id three times; the chained unordered-frame windows are the
+    single-shuffle formulation the module docstring promises.
+    """
+    plan = _plan(spark, specs, "events_funnel_conversion")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    assert plan.count("Window") == 3, plan
+    assert "Join" not in plan, plan  # no self-joins anywhere
+    assert "BatchEvalPython" not in plan
+
+
+def test_transition_matrix_single_user_exchange(spark, specs):
+    plan = _plan(spark, specs, "events_transition_matrix")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_span_tiles_no_window_on_tile(spark, specs):
+    """Winner election must be the combiner-friendly min-struct aggregate.
+
+    A `row_number() over (partition by tile)` formulation ships every
+    occurrence of the hottest boilerplate tile to one reducer with no
+    map-side combine and no AQE skew-split — the exact skew trap the
+    module docstring rules out. The aggregate+join shape keeps a partial
+    HashAggregate before the shuffle and a (skew-splittable) join after.
+    """
+    plan = _plan(spark, specs, "dedup_span_tiles")
+    assert "Window" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_surprisal_does_not_broadcast_the_lm(spark, specs):
+    """The unigram LM is vocabulary-sized: it must shuffle-join on word
+    (same 100 TB constraint as text_langid_nb); only the 1-row corpus
+    total may broadcast."""
+    plan = _plan(spark, specs, "text_unigram_surprisal")
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan
