@@ -95,3 +95,157 @@ def profile_orders_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         ).alias("p")
     ).select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# Constraint checking: the Deequ-style data-quality gate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_constraint_checks",
+    """
+    WITH o AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS pk_dup,
+             CAST(count(*) - count(o_custkey) AS BIGINT) AS null_cust,
+             CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_price
+      FROM orders
+    ),
+    l AS (
+      SELECT CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_qty,
+             CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount
+      FROM lineitem
+    ),
+    lo AS (
+      SELECT CAST(count(*) AS BIGINT) AS orphans
+      FROM lineitem li WHERE NOT EXISTS (
+        SELECT 1 FROM orders o2 WHERE o2.o_orderkey = li.l_orderkey)
+    ),
+    cn AS (
+      SELECT CAST(count(*) AS BIGINT) AS orphans
+      FROM customer c WHERE NOT EXISTS (
+        SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    ),
+    d AS (
+      SELECT CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_text,
+             CAST(sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_drift
+      FROM documents
+    )
+    SELECT * FROM (
+      SELECT 'orders' AS table_name, 'pk_unique_o_orderkey' AS check_name, pk_dup AS violations FROM o
+      UNION ALL SELECT 'orders', 'not_null_o_custkey', null_cust FROM o
+      UNION ALL SELECT 'orders', 'positive_o_totalprice', nonpos_price FROM o
+      UNION ALL SELECT 'lineitem', 'positive_l_quantity', nonpos_qty FROM l
+      UNION ALL SELECT 'lineitem', 'l_discount_in_unit_range', bad_discount FROM l
+      UNION ALL SELECT 'lineitem', 'fk_l_orderkey_in_orders', orphans FROM lo
+      UNION ALL SELECT 'customer', 'fk_c_nationkey_in_nation', orphans FROM cn
+      UNION ALL SELECT 'documents', 'non_empty_text', empty_text FROM d
+      UNION ALL SELECT 'documents', 'n_chars_matches_text', n_chars_drift FROM d
+    )
+    """,
+    section="A7,J3,P5",
+    note="Deequ-style constraint suite: PK uniqueness, not-null, value "
+    "ranges, FK referential integrity (anti-join orphan counts), and a "
+    "derived-column consistency check — ONE aggregation pass per table "
+    "plus one key-hashed anti join per FK; all-integer output so the "
+    "gate is drift-free by construction",
+)
+def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over the star schema.
+
+    The shape a training pipeline runs before ingesting a new drop: every
+    in-table constraint family (uniqueness, completeness, range, derived-
+    column consistency) folds into ONE conditional-aggregate scan per
+    table — violations are sums, so partial aggregation makes the 100 TB
+    cost one pass per table with bytes of shuffle. Referential integrity
+    is a LEFT ANTI join per FK edge, hash-partitioned on the key (nation
+    is bounded -> broadcast). Output is (table, check, violations BIGINT):
+    integer-exact, no float canonicalization needed anywhere.
+    """
+
+    def _stack(table: str, agg_df: DataFrame, checks: list[tuple[str, str]]) -> DataFrame:
+        return agg_df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(table).alias("table_name"),
+                            F.lit(name).alias("check_name"),
+                            F.col(col).cast("long").alias("violations"),
+                        )
+                        for name, col in checks
+                    ]
+                )
+            ).alias("c")
+        ).select("c.*")
+
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.agg(
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("pk_dup"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("null_cust"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("nonpos_price"),
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    li = lineitem.agg(
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("nonpos_qty"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)
+        ).alias("bad_discount"),
+    )
+    lo = (
+        lineitem.select("l_orderkey")
+        .join(orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphans"))
+    )
+    cn = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_nationkey")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation").select("n_nationkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("orphans"))
+    )
+    docs = load_table(spark, sf_dir, "documents").agg(
+        F.sum(
+            F.when(F.col("text").isNull() | (F.length("text") == 0), 1).otherwise(0)
+        ).alias("empty_text"),
+        F.sum(F.when(F.length("text") != F.col("n_chars"), 1).otherwise(0)).alias(
+            "n_chars_drift"
+        ),
+    )
+    parts = [
+        _stack(
+            "orders",
+            o,
+            [
+                ("pk_unique_o_orderkey", "pk_dup"),
+                ("not_null_o_custkey", "null_cust"),
+                ("positive_o_totalprice", "nonpos_price"),
+            ],
+        ),
+        _stack(
+            "lineitem",
+            li,
+            [
+                ("positive_l_quantity", "nonpos_qty"),
+                ("l_discount_in_unit_range", "bad_discount"),
+            ],
+        ),
+        _stack("lineitem", lo, [("fk_l_orderkey_in_orders", "orphans")]),
+        _stack("customer", cn, [("fk_c_nationkey_in_nation", "orphans")]),
+        _stack(
+            "documents",
+            docs,
+            [
+                ("non_empty_text", "empty_text"),
+                ("n_chars_matches_text", "n_chars_drift"),
+            ],
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

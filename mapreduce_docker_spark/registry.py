@@ -142,6 +142,7 @@ _PRIORITY_WINDOW = (
     "events_transition_matrix",
     "dedup_span_tiles",
     "text_unigram_surprisal",
+    "dq_constraint_checks",
     # engine path changed in r4 (salted LSH routing / langid de-broadcast)
     "dedup_minhash_survivors",
     "dedup_minhash_clusters",
@@ -150,7 +151,6 @@ _PRIORITY_WINDOW = (
     "text_curation_pipeline",
     "text_langid_nb",
     # freshness spread: r1/r2 greens not re-checked since
-    "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
