@@ -51,6 +51,9 @@ HEADLINE = [
     "dedup_embedding_pairs",        # SRP-band LSH near-dup + Hamming-gated verify
     "text_curation_pipeline",       # composed quality/repetition/near-dup gates
     "sim_ann_srp_banded",           # 24-band ANN reusing the near-dup geometry
+    "dedup_span_tiles",             # C4-style sub-document span dedup
+    "text_unigram_surprisal",       # unigram-LM perplexity quality scoring
+    "events_funnel_conversion",     # sequence funnel: 3 windows, 1 exchange
 ]
 
 
