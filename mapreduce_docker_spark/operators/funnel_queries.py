@@ -186,3 +186,72 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         dround(F.col("cnt") / F.sum("cnt").over(norm).cast("double"), 4).alias("p"),
     )
+
+
+SESSION_GAP_US = 6 * 3_600_000_000  # 6 h: sized to the fixture's ~11 h mean per-user inter-arrival
+
+
+@register(
+    "events_sessionize",
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id, ts::TIMESTAMP AS ts, epoch_us(ts::TIMESTAMP) AS us
+      FROM events
+    ),
+    flagged AS (
+      SELECT event_id, user_id, ts, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+    ),
+    numbered AS (
+      SELECT user_id, ts, us,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY us ASC, event_id ASC
+               ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(max(us) - min(us) AS BIGINT) AS duration_us
+    FROM numbered GROUP BY user_id, session_idx
+    """,
+    section="W:analytic,ST5",
+    note=f"gap-based sessionization with explicit session ids: new session "
+    f"when the per-user gap exceeds {SESSION_GAP_US // 3_600_000_000} h; "
+    "lag-flag + running-sum ride ONE user_id exchange, session stats are "
+    "exact integer microseconds (complements session_window, which merges "
+    "windows but does not expose stable per-session ids)",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign monotone session ids per user and fold per-session stats.
+
+    ``F.session_window`` (events_session_5m) aggregates within merged
+    windows but gives no stable session INDEX to join other relations on;
+    the standard formulation is lag -> boundary flag -> running sum, all
+    over the same (user_id, time) ordering, so Catalyst plans ONE exchange
+    and two WindowExec passes (plan-tested). The final per-session fold
+    shuffles on (user_id, session_idx) — unique keys, clean hashing.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("us"), F.asc("event_id"))
+    prev = F.lag("us").over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(prev.isNull() | ((F.col("us") - prev) > SESSION_GAP_US), 1).otherwise(0),
+    )
+    cum = Window.partitionBy("user_id").orderBy(F.asc("us"), F.asc("event_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    numbered = flagged.withColumn("session_idx", F.sum("new_session").over(cum))
+    return numbered.groupBy("user_id", F.col("session_idx").cast("long").alias("session_idx")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.max("us") - F.min("us")).cast("long").alias("duration_us"),
+    )

@@ -143,6 +143,7 @@ _PRIORITY_WINDOW = (
     "dedup_span_tiles",
     "text_unigram_surprisal",
     "dq_constraint_checks",
+    "events_sessionize",
     # engine path changed in r4 (salted LSH routing / langid de-broadcast)
     "dedup_minhash_survivors",
     "dedup_minhash_clusters",
@@ -153,7 +154,6 @@ _PRIORITY_WINDOW = (
     # freshness spread: r1/r2 greens not re-checked since
     "q3_shipping_priority",
     "q5_local_supplier",
-    "q6_forecast_revenue",
     "q18_large_orders",
     "q21_waiting_suppliers_onepass",
     "sql_interface_revenue_by_nation",

@@ -82,3 +82,26 @@ def test_transition_matrix_rows_are_stochastic(spark):
     n_users = ev.select("user_id").distinct().count()
     # every event except each user's first contributes exactly one transition
     assert n_pairs == n_events - n_users
+
+
+def test_sessionize_gap_semantics(spark, crafted_dir):
+    # gaps: 1min (same session), 7h (new session), 1min (same session)
+    sf_dir = crafted_dir(
+        [
+            _ev(1, 1, "view", 0),
+            _ev(2, 1, "click", 1),
+            (3, dt.datetime(2024, 1, 1, 7, 2, 0), 1, "view", 1.0, "{}"),
+            (4, dt.datetime(2024, 1, 1, 7, 3, 0), 1, "purchase", 1.0, "{}"),
+            _ev(5, 2, "view", 30),
+        ]
+    )
+    rows = {
+        (r["user_id"], r["session_idx"]): r
+        for r in fq.events_sessionize(spark, sf_dir).collect()
+    }
+    assert set(rows) == {(1, 1), (1, 2), (2, 1)}
+    assert rows[(1, 1)]["n_events"] == 2
+    assert rows[(1, 1)]["duration_us"] == 60_000_000
+    assert rows[(1, 2)]["n_events"] == 2
+    assert rows[(2, 1)]["n_events"] == 1
+    assert rows[(2, 1)]["duration_us"] == 0

@@ -304,3 +304,14 @@ def test_surprisal_does_not_broadcast_the_lm(spark, specs):
     assert "BroadcastHashJoin" not in plan, plan
     assert "ShuffledHashJoin" in plan, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_sessionize_single_exchange(spark, specs):
+    """lag-flag, running-sum, AND the per-session fold all ride ONE
+    user_id exchange: the session grouping (user_id, session_idx) is a
+    superset of the window partitioning, so Catalyst plans the final
+    aggregation without a re-shuffle."""
+    plan = _plan(spark, specs, "events_sessionize")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    assert "BatchEvalPython" not in plan
