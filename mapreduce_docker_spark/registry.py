@@ -207,6 +207,7 @@ _OPTIONAL_MODULE_QUERIES: dict[str, frozenset[str]] = {
             "streaming_dedup_within_watermark",
             "streaming_incremental_minhash_dedup",
             "streaming_stateful_user_counts",
+            "streaming_sessionize",
             "streaming_transform_with_state",
             "streaming_foreachbatch_sink",
             "streaming_wordcount",

@@ -570,3 +570,73 @@ def run_incremental_minhash_dedup(
     except Exception:  # no near-dups at all: drop store never created
         return docs.select("doc_id")
     return docs.select("doc_id").join(flagged, "doc_id", "left_anti")
+
+
+_SESS_STATE_SCHEMA = "last_us bigint, session_idx bigint, start_us bigint, n bigint"
+_SESS_OUT_SCHEMA = (
+    "user_id bigint, session_idx bigint, n_events bigint, start_us bigint, end_us bigint"
+)
+
+
+def _sessionize_per_user(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState update fn: emit sessions as they CLOSE.
+
+    State is O(1) per user — (last_us, session_idx, start_us, n) — which is
+    the whole point versus the batch window formulation: an unbounded
+    stream sessionizes in constant per-key memory. A session is only
+    knowably complete once a later event exceeds the gap, so the trailing
+    open session stays in state and is NOT emitted (tests assert streaming
+    output == batch sessions minus each user's last).
+    """
+    from mapreduce_docker_spark.operators.funnel_queries import SESSION_GAP_US
+
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values(["us", "event_id"])
+    if state.exists:
+        last_us, idx, start_us, n = state.get
+    else:
+        last_us, idx, start_us, n = None, 0, None, 0
+    closed: list[tuple[int, int, int, int, int]] = []
+    for us in batch["us"].to_numpy():
+        us = int(us)
+        if last_us is None:
+            idx, start_us, n = 1, us, 1
+        elif us - last_us > SESSION_GAP_US:
+            closed.append((int(key[0]), idx, n, start_us, last_us))
+            idx, start_us, n = idx + 1, us, 1
+        else:
+            n += 1
+        last_us = us
+    state.update((last_us, idx, start_us, n))
+    yield pd.DataFrame(
+        closed,
+        columns=["user_id", "session_idx", "n_events", "start_us", "end_us"],
+    )
+
+
+def run_sessionize_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "sessionize_stream"
+) -> DataFrame:
+    """Streaming twin of ``events_sessionize`` (ST7): gap sessions with
+    explicit per-key state, constant memory per user."""
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        _sessionize_per_user,
+        outputStructType=_SESS_OUT_SCHEMA,
+        stateStructType=_SESS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -277,6 +277,22 @@ def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFram
     return run_stateful_user_counts(spark, sf_dir, query_name=f"st_{uuid.uuid4().hex[:8]}")
 
 
+@register(
+    "streaming_sessionize",
+    None,  # emits sessions as they close: inherently streaming-only
+    section="ST7,W:analytic",
+    note="streaming twin of events_sessionize: gap sessions via "
+    "applyInPandasWithState in O(1) state per user (last_us, idx, start, "
+    "n); a session emits only once a later event proves it closed, so the "
+    "trailing open session stays in state — asserted equal to the batch "
+    "sessions minus each user's last in tests/test_streaming.py",
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_docker_spark.streaming.stream_demo import run_sessionize_stream
+
+    return run_sessionize_stream(spark, sf_dir, query_name=f"sess_{uuid.uuid4().hex[:8]}")
+
+
 def _protobuf_available() -> bool:
     """transformWithStateInPandas speaks to its state server over protobuf;
     a working ``google.protobuf`` is a genuinely-optional third-party dep

@@ -277,3 +277,32 @@ def test_incremental_minhash_dedup_equals_batch(spark):
     batch = {r["doc_id"] for r in dedup_minhash_survivors(spark, sf).collect()}
     assert streamed == batch
     assert len(batch) < 500  # fixture plants near-dups: something was dropped
+
+
+def test_streaming_sessionize_equals_batch_minus_open_sessions(spark):
+    """The stream emits a session only once a later event CLOSES it, so
+    its output must equal the batch sessionization minus each user's last
+    (still-open) session — same ids, counts, and boundaries."""
+    from mapreduce_docker_spark.operators.funnel_queries import events_sessionize
+
+    out = sd.run_sessionize_stream(spark, SF_SMOKE, query_name="t_sessionize")
+    got = {
+        (r["user_id"], r["session_idx"]): (r["n_events"], r["start_us"], r["end_us"])
+        for r in out.collect()
+    }
+    batch = events_sessionize(spark, SF_SMOKE).collect()
+    last_idx = {}
+    for r in batch:
+        last_idx[r["user_id"]] = max(last_idx.get(r["user_id"], 0), r["session_idx"])
+    # compare keys + event counts; boundary equality via duration
+    batch_by_key = {
+        (r["user_id"], r["session_idx"]): (r["n_events"], r["duration_us"])
+        for r in batch
+        if r["session_idx"] < last_idx[r["user_id"]]
+    }
+    assert set(got) == set(batch_by_key)
+    for k, (n, start_us, end_us) in got.items():
+        bn, bdur = batch_by_key[k]
+        assert n == bn, k
+        assert end_us - start_us == bdur, k
+    assert len(got) > 0  # fixture produces closed sessions
