@@ -101,8 +101,9 @@ def _load_all() -> None:
 #     hash-stratified sampling, int8 quantization, the incremental
 #     signature-store near-dedup — a streaming entry with a full oracle —
 #     the composed end-to-end training-shard assembly, the funnel /
-#     transition-matrix event analytics, C4-style span-tile dedup, and
-#     unigram-LM surprisal scoring);
+#     transition-matrix / sessionization event analytics, C4-style
+#     span-tile dedup, unigram-LM surprisal scoring, and the Deequ-style
+#     constraint gate);
 #   * every query whose ENGINE PATH changed in r4 (salted LSH bucket
 #     routing: minhash pairs/survivors/clusters, embedding pairs/clusters,
 #     curation; de-broadcast langid) — so the driver re-certifies the
