@@ -54,6 +54,8 @@ HEADLINE = [
     "dedup_span_tiles",             # C4-style sub-document span dedup
     "text_unigram_surprisal",       # unigram-LM perplexity quality scoring
     "events_funnel_conversion",     # sequence funnel: 3 windows, 1 exchange
+    "events_sessionize",            # gap sessionization, 1 exchange end-to-end
+    "dq_constraint_checks",         # Deequ-style constraint gate, 1 pass/table
 ]
 
 
