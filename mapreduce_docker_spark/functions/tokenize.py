@@ -52,3 +52,20 @@ def tokens_strict(col: Column | str) -> Column:
 def word_rows(col: Column | str) -> Column:
     """One token per row (use under ``select``): ``explode(tokens(col))``."""
     return F.explode(tokens(col))
+
+
+# GPT-2-style pre-tokenizer, lookahead-free so Java regex (Spark) and RE2
+# (DuckDB) match identically — the upstream GPT-2 pattern's trailing
+# `\s+(?!\S)` branch needs negative lookahead, which RE2 lacks; dropping it
+# only changes how runs of INTER-token whitespace are grouped (they are
+# counted as whitespace pieces either way). Verified piece-for-piece
+# identical across both engines on letters, digits, punctuation,
+# contractions, and non-ASCII (tests/test_tokenize_properties.py).
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_pieces(col: Column | str) -> Column:
+    """array<string> of GPT-style pre-tokenizer pieces (case-preserving,
+    space-prefixed words — the unit a BPE vocabulary is trained over)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0)

@@ -1272,3 +1272,66 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround((F.lit(0.0) - F.sum(lp)) / F.count(F.lit(1)), 6).alias("avg_nll"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-style pre-tokenization: the token-counting unit of an LLM vocabulary
+# ---------------------------------------------------------------------------
+
+# DuckDB twin of functions.tokenize.bpe_pieces() (RE2 == Java regex for
+# this lookahead-free pattern; parity pinned in tests)
+_SQL_BPE = r"regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')"
+
+
+@register(
+    "text_bpe_token_stats",
+    f"""
+    WITH d AS (SELECT doc_id, {_SQL_BPE} AS pieces FROM documents)
+    SELECT doc_id,
+           CAST(len(pieces) AS BIGINT)                AS n_pieces,
+           CAST(len(list_distinct(pieces)) AS BIGINT) AS n_distinct_pieces
+    FROM d
+    """,
+    section="U4,P2-P3",
+    note="GPT-style pre-tokenizer piece counts per document (the BPE-ish "
+    "token-counting twin of the reference word tokenizer): case-preserving, "
+    "space-prefixed pieces — the budgeting unit for context windows and "
+    "training-token accounting; pattern is lookahead-free so Java regex "
+    "and RE2 extract identical pieces",
+)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_docker_spark.functions.tokenize import bpe_pieces
+
+    d = _docs(spark, sf_dir).select("doc_id", bpe_pieces("text").alias("pieces"))
+    return d.select(
+        "doc_id",
+        F.size("pieces").cast("long").alias("n_pieces"),
+        F.size(F.array_distinct("pieces")).cast("long").alias("n_distinct_pieces"),
+    )
+
+
+@register(
+    "text_bpe_top_pieces",
+    f"""
+    WITH d AS (SELECT {_SQL_BPE} AS pieces FROM documents),
+    p AS (SELECT unnest(pieces) AS piece FROM d)
+    SELECT piece, CAST(count(*) AS BIGINT) AS cnt
+    FROM p GROUP BY piece
+    ORDER BY cnt DESC, piece ASC LIMIT 20
+    """,
+    section="U4,T1,A1-A2",
+    note="corpus-wide BPE-piece frequency top-20 (the first step of "
+    "vocabulary induction): explode + two-phase count + distributed "
+    "heap top-k, exactly the flagship wordcount shape over the "
+    "pre-tokenizer alphabet",
+)
+def text_bpe_top_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_docker_spark.functions.tokenize import bpe_pieces
+
+    p = _docs(spark, sf_dir).select(F.explode(bpe_pieces("text")).alias("piece"))
+    return (
+        p.groupBy("piece")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(20)
+    )

@@ -145,6 +145,8 @@ _PRIORITY_WINDOW = (
     "text_unigram_surprisal",
     "dq_constraint_checks",
     "events_sessionize",
+    "text_bpe_token_stats",
+    "text_bpe_top_pieces",
     # engine path changed in r4 (salted LSH routing / langid de-broadcast)
     "dedup_minhash_survivors",
     "dedup_minhash_clusters",
@@ -163,12 +165,10 @@ _PRIORITY_WINDOW = (
     "skew_salted_user_value_sums",
     "events_multires_rollup",
     "events_session_5m",
-    "sim_cosine_topk",
     "sim_ann_srp",
     "sim_ann_ivf",
     "multimodal_meta_by_source",
     "multimodal_features",
-    "udf_pandas_saturation",
     "udf_applyinpandas_zscore",
     "udf_cogroup_user_conversion",
     "text_tfidf_top_term",

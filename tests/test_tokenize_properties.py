@@ -43,3 +43,33 @@ def test_tokenizer_properties(spark, data):
         low = s.lower()
         assert got[i][0] == re.findall(r"[a-z]+", low), repr(s)
         assert got[i][1] == re.findall(r"\b[a-z]+\b", low), repr(s)
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.data())
+def test_bpe_pieces_cross_engine_parity(spark, data):
+    """The BPE-ish pre-tokenizer must extract IDENTICAL pieces in Spark
+    (Java regex) and DuckDB (RE2) on adversarial text — the lookahead-free
+    pattern is chosen precisely for this, and every piece must concatenate
+    back to the original string (the pattern tiles its input: letters,
+    digits, punctuation, and whitespace branches are exhaustive)."""
+    import duckdb
+
+    from mapreduce_docker_spark.functions.tokenize import BPE_PATTERN, bpe_pieces
+
+    cases = data.draw(st.lists(_TEXT, min_size=200, max_size=200))
+    cases += ["it's 42 degrees!", "don't stop", "a1b2, (c)", "  pad  "]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], "id int, text string"
+    )
+    got = {
+        r["id"]: list(r["p"])
+        for r in df.select("id", bpe_pieces("text").alias("p")).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(cases):
+        duck = con.execute(
+            "SELECT regexp_extract_all(?, ?)", [s, BPE_PATTERN]
+        ).fetchone()[0]
+        assert got[i] == duck, repr(s)
+        assert "".join(got[i]) == s, repr(s)  # pieces tile the input exactly
