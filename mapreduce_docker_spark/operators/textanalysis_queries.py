@@ -1286,27 +1286,37 @@ _SQL_BPE = r"regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+|
 @register(
     "text_bpe_token_stats",
     f"""
-    WITH d AS (SELECT doc_id, {_SQL_BPE} AS pieces FROM documents)
+    WITH d AS (
+      SELECT doc_id, {_SQL_BPE} AS pieces,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+      FROM documents
+    )
     SELECT doc_id,
            CAST(len(pieces) AS BIGINT)                AS n_pieces,
-           CAST(len(list_distinct(pieces)) AS BIGINT) AS n_distinct_pieces
+           CAST(len(list_distinct(pieces)) AS BIGINT) AS n_distinct_pieces,
+           CAST(len(ws) AS BIGINT)                    AS n_ws_tokens
     FROM d
     """,
     section="U4,P2-P3",
     note="GPT-style pre-tokenizer piece counts per document (the BPE-ish "
-    "token-counting twin of the reference word tokenizer): case-preserving, "
-    "space-prefixed pieces — the budgeting unit for context windows and "
-    "training-token accounting; pattern is lookahead-free so Java regex "
-    "and RE2 extract identical pieces",
+    "token-counting twin of the reference word tokenizer) plus the plain "
+    "whitespace token count: case-preserving, space-prefixed pieces — the "
+    "budgeting unit for context windows and training-token accounting; "
+    "pattern is lookahead-free so Java regex and RE2 extract identical "
+    "pieces; both engines filter boundary empties from the whitespace split",
 )
 def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_docker_spark.functions.tokenize import bpe_pieces
 
-    d = _docs(spark, sf_dir).select("doc_id", bpe_pieces("text").alias("pieces"))
+    ws = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    d = _docs(spark, sf_dir).select(
+        "doc_id", bpe_pieces("text").alias("pieces"), ws.alias("ws")
+    )
     return d.select(
         "doc_id",
         F.size("pieces").cast("long").alias("n_pieces"),
         F.size(F.array_distinct("pieces")).cast("long").alias("n_distinct_pieces"),
+        F.size("ws").cast("long").alias("n_ws_tokens"),
     )
 
 
