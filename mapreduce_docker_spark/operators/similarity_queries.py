@@ -787,3 +787,86 @@ def sim_ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= ANN_TOPK)
         .select("query_id", "neighbor_id", "cell", "cos_sim", "rank")
     )
+
+
+@register(
+    "sim_cosine_topk_pandas",
+    None,  # BLAS summation order differs from the sequential fold by ulps;
+    # the rounded scores agree on the fixture (pinned equal to the
+    # oracle-checked JVM path in tests/test_similarity.py) but the
+    # bit-exactness CONTRACT belongs to sim_cosine_topk, so this twin
+    # is registered rows-only rather than gambling the oracle gate on
+    # float-association luck
+    section="U3,U6",
+    note="vectorized-pandas twin of sim_cosine_topk: Arrow batches -> one "
+    "numpy GEMM per batch against the broadcast query matrix, batch-local "
+    "top-k inside the UDF (combiner-style: k x |queries| rows leave each "
+    "batch, not |batch| x |queries|), exact global top-k after; asserted "
+    "row-identical to the JVM expression path in tests",
+)
+def sim_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The brief's 'vectorized Pandas UDF' dot-product path, done scale-first.
+
+    The JVM baseline emits |queries| x N scored rows into the top-k window;
+    here each Arrow batch computes a single (B x 64)(64 x |queries|) GEMM
+    and emits only its LOCAL top-k per query — top-k selection under a
+    total order is associative, so global-top-k-of-local-top-ks is exact.
+    Shuffle volume drops from |queries| x N to |queries| x k x #batches.
+    Scores are rounded with the same floor(x*1e4+0.5)/1e4 formula as
+    :func:`mapreduce_docker_spark.functions.rounding.dround` BEFORE
+    selection, so ranking ties break identically to the JVM path.
+
+    The 10-row query matrix is collected driver-side and broadcast — a
+    bounded dimension table by construction (N_QUERIES_TOPK), the same
+    budget class as the SRP plane literals.
+    """
+    import numpy as np
+    import pandas as pd
+
+    unit = _unit_vectors(spark, sf_dir)
+    qrows = sorted(
+        unit.filter(F.col("vec_id") < N_QUERIES_TOPK).select("vec_id", "u").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["u"] for r in qrows], dtype=np.float64)  # (nq, 64)
+    bq = spark.sparkContext.broadcast((qids, qmat))
+
+    out_schema = "query_id long, neighbor_id long, neighbor_label int, cos_sim double"
+
+    def score_batches(batches):
+        ids, Q = bq.value
+        nq = len(ids)
+        for pdf in batches:
+            m = np.stack(pdf["u"].to_numpy()).astype(np.float64)  # (B, 64)
+            s = m @ Q.T  # (B, nq): one GEMM per Arrow batch
+            s = np.floor(s * 1e4 + 0.5) / 1e4  # dround(…, 4), vectorized
+            nid = pdf["vec_id"].to_numpy()
+            nlab = pdf["label"].to_numpy()
+            frames = []
+            for j in range(nq):
+                mask = nid != ids[j]
+                cand_id, cand_lab, cand_s = nid[mask], nlab[mask], s[mask, j]
+                # batch-local top-k under the global total order
+                # (cos desc, neighbor_id asc) — associative with the final
+                # global top-k, so nothing the window needs ever drops here
+                order = np.lexsort((cand_id, -cand_s))[:TOPK]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": ids[j],
+                            "neighbor_id": cand_id[order],
+                            "neighbor_label": cand_lab[order],
+                            "cos_sim": cand_s[order],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    scored = unit.select("vec_id", "label", "u").mapInPandas(score_batches, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", "neighbor_label", "cos_sim", "rank")
+    )

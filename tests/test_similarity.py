@@ -81,3 +81,17 @@ def test_ann_beats_random_candidate_baseline(spark, ann_name):
     )
     # and every query must get a full top-K (no empty buckets for queries)
     assert all(len(v) == K for v in ann.values())
+
+
+def test_pandas_cosine_twin_matches_jvm_path(spark):
+    """The vectorized-pandas GEMM path must reproduce the oracle-checked
+    JVM expression path row-for-row: same rounded scores, same ranks, same
+    tie-breaks — proving the batch-local top-k drops nothing (top-k under
+    a total order is associative) and the numpy rounding formula equals
+    dround."""
+    specs = all_specs()
+    a = sorted(tuple(r) for r in specs["sim_cosine_topk"].fn(spark, SF).collect())
+    b = sorted(
+        tuple(r) for r in specs["sim_cosine_topk_pandas"].fn(spark, SF).collect()
+    )
+    assert a == b
