@@ -870,3 +870,89 @@ def sim_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOPK)
         .select("query_id", "neighbor_id", "neighbor_label", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end vector-store build: the embedding-side twin of
+# text_training_shards — composed from the REGISTERED stage queries so the
+# oracle nests the exact stage SQLs (they cannot drift apart).
+# ---------------------------------------------------------------------------
+
+
+def _sql_vector_store_build() -> str:
+    from mapreduce_docker_spark.registry import _REGISTRY
+
+    clusters_sql = _REGISTRY["dedup_embedding_clusters"].sql
+    quant_sql = _REGISTRY["emb_quantize_int8"].sql
+    cells_sql = (
+        _SQL_UNIT
+        + ","
+        + _SQL_IVF_CENT
+        + f""",
+    assign AS (
+      SELECT v.vec_id, c.cent_id,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {rsql(_sql_dot('v.u', 'c.cu'), 4)} DESC, c.cent_id ASC) AS rn
+      FROM unit v JOIN cent c ON true
+    )
+    SELECT vec_id, cent_id FROM assign WHERE rn = 1
+"""
+    )
+    return f"""
+    WITH surv AS (
+      SELECT vec_id FROM ( {clusters_sql} ) cl WHERE vec_id = cluster_id
+    ),
+    quant AS ( SELECT * FROM ( {quant_sql} ) qz ),
+    cellassign AS ( SELECT * FROM ( {cells_sql} ) ca )
+    SELECT s.vec_id,
+           CAST(c.cent_id AS INTEGER) AS cell,
+           q.scale, q.q_str, q.n_saturated
+    FROM surv s
+    JOIN quant q USING (vec_id)
+    JOIN cellassign c USING (vec_id)
+    """
+
+
+@register(
+    "emb_vector_store_build",
+    _sql_vector_store_build(),
+    section="U2,U3,U5",
+    note="END-TO-END vector-store build (embedding twin of "
+    "text_training_shards): SRP near-dup clustering keeps one "
+    "representative per cluster (vec_id == cluster_id) -> int8 "
+    "quantization compresses the survivors 4x -> IVF k-means cells give "
+    "the partition key a store would write by; the oracle nests the "
+    "REGISTERED stage SQLs verbatim so the composition cannot drift from "
+    "the driver-checked stages",
+)
+def emb_vector_store_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compose the registered embedding stages into one store-build relation.
+
+    A production vector store ingests exactly this: dedup (keep cluster
+    representatives), quantize (int8 + per-vector scale), and coarse-cell
+    assignment (IVF) as the partitioning key — `sim_ann_ivf_stored`
+    demonstrates the subsequent partitioned write + probe-many reads. All
+    three stages reuse the single embeddings scan lineage per stage; the
+    composition joins them on unique ``vec_id`` (clean hash shuffles). At
+    100 TB each stage is independently scale-safe (banded LSH, per-row
+    arithmetic, broadcast centroids), and the store build is the one place
+    the three meet — still nothing quadratic, nothing driver-side beyond
+    the bounded centroid seed.
+    """
+    from mapreduce_docker_spark.operators.dedup_queries import (
+        dedup_embedding_clusters,
+    )
+
+    clusters = dedup_embedding_clusters(spark, sf_dir)
+    surv = clusters.filter(F.col("vec_id") == F.col("cluster_id")).select("vec_id")
+    quant = emb_quantize_int8(spark, sf_dir)
+    unit = _unit_vectors(spark, sf_dir)
+    cells = _assign_best(unit, _ivf_centroids(unit)).select(
+        "vec_id", F.col("cent_id").cast("int").alias("cell")
+    )
+    return (
+        surv.join(quant, "vec_id")
+        .join(cells, "vec_id")
+        .select("vec_id", "cell", "scale", "q_str", "n_saturated")
+    )

@@ -147,6 +147,7 @@ _PRIORITY_WINDOW = (
     "events_sessionize",
     "text_bpe_token_stats",
     "text_bpe_top_pieces",
+    "emb_vector_store_build",
     # engine path changed in r4 (salted LSH routing / langid de-broadcast)
     "dedup_minhash_survivors",
     "dedup_minhash_clusters",
@@ -165,7 +166,6 @@ _PRIORITY_WINDOW = (
     "skew_salted_user_value_sums",
     "events_multires_rollup",
     "events_session_5m",
-    "sim_ann_srp",
     "sim_ann_ivf",
     "multimodal_meta_by_source",
     "multimodal_features",
