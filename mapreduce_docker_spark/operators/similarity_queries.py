@@ -838,6 +838,8 @@ def sim_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids, Q = bq.value
         nq = len(ids)
         for pdf in batches:
+            if pdf.empty:  # an empty partition yields an empty Arrow batch
+                continue
             m = np.stack(pdf["u"].to_numpy()).astype(np.float64)  # (B, 64)
             s = m @ Q.T  # (B, nq): one GEMM per Arrow batch
             s = np.floor(s * 1e4 + 0.5) / 1e4  # dround(…, 4), vectorized

@@ -56,3 +56,20 @@ def test_gzip_text_reads_natively(spark, tmp_path):
         for r in wc.word_counts(read_text_corpus(spark, str(p)), "value").collect()
     }
     assert counts == {("alpha", 2), ("beta", 3), ("gamma", 1)}
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """A later drop adding a column must union-read with the old drop:
+    `mergeSchema` reconciles by name, old rows surface NULL for the new
+    column. The 100 TB relevance: crawl snapshots evolve schemas and a
+    store must read across generations without rewriting history."""
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, txt string")
+    v2 = spark.createDataFrame(
+        [(3, "c", "en")], "id long, txt string, lang string"
+    )
+    v1.write.parquet(str(tmp_path / "drop=1"))
+    v2.write.parquet(str(tmp_path / "drop=2"))
+    merged = spark.read.option("mergeSchema", True).parquet(str(tmp_path))
+    assert set(merged.columns) == {"id", "txt", "lang", "drop"}
+    rows = {r["id"]: (r["txt"], r["lang"]) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", "en")}
