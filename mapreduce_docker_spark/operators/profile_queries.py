@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_docker_spark.functions.rounding import sql as rsql
 from mapreduce_docker_spark.registry import register
 from mapreduce_docker_spark.sources.catalog import load_table
 
@@ -249,3 +250,63 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram: the profiling visualization primitive
+# ---------------------------------------------------------------------------
+
+HIST_BUCKETS = 10
+
+
+@register(
+    "agg_histogram_totalprice",
+    f"""
+    WITH s AS (
+      SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+    ),
+    b AS (
+      SELECT CAST(least(floor((o_totalprice - s.mn) / (s.mx - s.mn) * {HIST_BUCKETS}.0),
+                        {HIST_BUCKETS - 1}) AS BIGINT) AS bucket_idx,
+             s.mn, s.mx
+      FROM orders CROSS JOIN s
+    )
+    SELECT bucket_idx,
+           {rsql(f"any_value(mn) + bucket_idx * (any_value(mx) - any_value(mn)) / {HIST_BUCKETS}.0", 4)} AS lo,
+           {rsql(f"any_value(mn) + (bucket_idx + 1) * (any_value(mx) - any_value(mn)) / {HIST_BUCKETS}.0", 4)} AS hi,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM b GROUP BY bucket_idx
+    """,
+    section="A7,U4",
+    note=f"equi-width {HIST_BUCKETS}-bucket histogram of o_totalprice: "
+    "min/max from one aggregation broadcast as a 1-row relation (never a "
+    "driver round-trip), bucket index by pure IEEE arithmetic identical "
+    "on both engines (max pinned into the top bucket), counts partial-"
+    "aggregated — two scans total, shuffle is bytes",
+)
+def agg_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_docker_spark.functions.rounding import dround
+
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    idx = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("mn"))
+            / (F.col("mx") - F.col("mn"))
+            * F.lit(float(HIST_BUCKETS))
+        ),
+        F.lit(HIST_BUCKETS - 1),
+    ).cast("long")
+    width = (F.any_value("mx") - F.any_value("mn")) / F.lit(float(HIST_BUCKETS))
+    return (
+        orders.crossJoin(F.broadcast(s))
+        .select(idx.alias("bucket_idx"), "mn", "mx")
+        .groupBy("bucket_idx")
+        .agg(
+            dround(F.any_value("mn") + F.col("bucket_idx") * width, 4).alias("lo"),
+            dround(F.any_value("mn") + (F.col("bucket_idx") + 1) * width, 4).alias("hi"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
