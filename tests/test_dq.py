@@ -69,3 +69,21 @@ def test_every_check_fires_on_dirty_data(spark, dirty_dir):
     assert got[("documents", "non_empty_text")] == 1
     assert got[("documents", "n_chars_matches_text")] == 1
     assert len(got) == 9
+
+
+def test_histogram_partitions_all_orders(spark):
+    from mapreduce_docker_spark.operators.profile_queries import (
+        HIST_BUCKETS,
+        agg_histogram_totalprice,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = sorted(
+        agg_histogram_totalprice(spark, SF_SMOKE).collect(),
+        key=lambda r: r["bucket_idx"],
+    )
+    n_orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").count()
+    assert sum(r["n_orders"] for r in rows) == n_orders  # buckets partition rows
+    assert [r["bucket_idx"] for r in rows] == list(range(HIST_BUCKETS))
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] == b["lo"]  # contiguous edges

@@ -105,3 +105,23 @@ def test_sessionize_gap_semantics(spark, crafted_dir):
     assert rows[(1, 2)]["n_events"] == 2
     assert rows[(2, 1)]["n_events"] == 1
     assert rows[(2, 1)]["duration_us"] == 0
+
+
+def test_funnel_stage_counts_monotone(spark):
+    out = {r["stage"]: r for r in fq.events_funnel_conversion(spark, SF_SMOKE).collect()}
+    # a strictly-ordered funnel can only lose users at each stage
+    assert out["1_view"]["users"] >= out["2_click"]["users"] >= out["3_purchase"]["users"]
+    assert out["3_purchase"]["users"] > 0  # fixture has full converters
+
+
+def test_sessionize_partitions_all_events(spark):
+    sess = fq.events_sessionize(spark, SF_SMOKE).collect()
+    total = sum(r["n_events"] for r in sess)
+    n_events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert total == n_events  # sessions partition the event stream exactly
+    by_user = {}
+    for r in sess:
+        by_user.setdefault(r["user_id"], []).append(r["session_idx"])
+    for uid, idxs in by_user.items():
+        assert sorted(idxs) == list(range(1, len(idxs) + 1)), uid  # contiguous ids
+    assert all(r["duration_us"] >= 0 for r in sess)
