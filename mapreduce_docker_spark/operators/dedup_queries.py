@@ -973,9 +973,10 @@ SPAN_TILE_TOKENS = 3
 def dedup_span_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Remove repeated k-token spans corpus-wide, keeping first occurrences.
 
-    The C4 pipeline drops every repeat of any three-sentence span across the
-    whole corpus (the boilerplate killer: nav bars, license headers, cookie
-    banners). Fixture docs have no sentence structure, so the unit here is
+    The C4 pipeline (Raffel et al., "Exploring the Limits of Transfer
+    Learning with a Unified Text-to-Text Transformer", JMLR 2020, §2.2)
+    drops every repeat of any three-sentence span across the whole corpus
+    (the boilerplate killer: nav bars, license headers, cookie banners). Fixture docs have no sentence structure, so the unit here is
     the non-overlapping 3-TOKEN tile — same algorithm, same shuffles.
 
     Scale (100 TB): the winner per tile is ``min(struct(doc_id, tile_idx))``

@@ -1243,9 +1243,11 @@ def text_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document unigram cross-entropy against the corpus LM.
 
-    The real-pipeline use is quality filtering: docs whose token
-    distribution diverges from the corpus (gibberish, boilerplate, wrong
-    language) score high. Smoothing is unnecessary — every scored token is
+    The real-pipeline use is quality filtering, the CCNet recipe (Wenzek
+    et al., "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data", LREC 2020) with a unigram LM standing in for KenLM: docs
+    whose token distribution diverges from the corpus (gibberish,
+    boilerplate, wrong language) score high. Smoothing is unnecessary — every scored token is
     by construction in the training vocabulary (the LM is trained on the
     same corpus), so ``p = c / N`` never hits zero.
 
