@@ -1347,3 +1347,93 @@ def text_bpe_top_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("piece"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based domain mixing: the corpus-composition sampler
+# ---------------------------------------------------------------------------
+
+MIX_ALPHA_IS_HALF = True  # alpha = 0.5 spelled as sqrt: IEEE-exact on both engines
+MIX_TARGET_FRAC = 0.5  # expected output size = half the corpus
+_MIX_SCALE = 1_000_000  # rate quantized to 1e-6 before the integer hash test
+
+
+@register(
+    "sample_temperature_mix",
+    f"""
+    WITH src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(sqrt(c)) AS z, CAST(sum(c) AS BIGINT) AS n FROM src),
+    rates AS (
+      SELECT s.source,
+             CAST(floor(least(1.0, {MIX_TARGET_FRAC} * t.n * (sqrt(s.c) / t.z) / s.c)
+                        * {_MIX_SCALE} + 0.5) AS BIGINT) AS thr
+      FROM src s CROSS JOIN tot t
+    )
+    SELECT d.doc_id, d.source, r.thr
+    FROM documents d JOIN rates r USING (source)
+    WHERE ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % {_MIX_SCALE} < r.thr
+    """,
+    section="P5,U4,A7",
+    note="temperature-based domain mixing (alpha=0.5 source reweighting, "
+    "the Pile/GPT-3 corpus-composition move): per-source rates proportional "
+    f"to sqrt(count) normalized to a {MIX_TARGET_FRAC} target fraction, "
+    "rare sources upsampled relative to their mass, rates quantized to "
+    "integer millionths and membership decided by key hash — reproducible "
+    "across engines, runs, and re-sharding, hence fully oracle-checked",
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic temperature sampler over document sources.
+
+    Corpus composition for LLM training flattens the source distribution:
+    sampling weight w_s ∝ c_s^alpha (alpha < 1) boosts rare domains.
+    alpha = 0.5 is spelled as sqrt so both engines evaluate it IEEE-exactly
+    (pow() implementations differ cross-engine; sqrt is correctly rounded
+    everywhere). The per-source rate least(1, F·N·w_s/c_s) is quantized to
+    millionths and membership is an integer comparison on a key hash —
+    the same re-shard-stable machinery as sample_stratified_hash, with
+    the rates COMPUTED from corpus statistics instead of hand-set.
+
+    Scale: source cardinality is a bounded label set (like ``lang``), so
+    the aggregate is tiny and the rate relation broadcasts; the corpus
+    side streams through one scan + the membership filter.
+    """
+    docs = _docs(spark, sf_dir)
+    src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    tot = src.agg(
+        F.sum(F.sqrt(F.col("c"))).alias("z"), F.sum("c").cast("long").alias("n")
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(MIX_TARGET_FRAC)
+        * F.col("n")
+        * (F.sqrt(F.col("c")) / F.col("z"))
+        / F.col("c"),
+    )
+    rates = (
+        src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.floor(rate * F.lit(float(_MIX_SCALE)) + F.lit(0.5))
+            .cast("long")
+            .alias("thr"),
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _MIX_SCALE
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(rates), "source")
+        .filter(bucket < F.col("thr"))
+        .select("doc_id", "source", "thr")
+    )
