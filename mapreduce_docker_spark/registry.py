@@ -116,8 +116,9 @@ def _load_all() -> None:
 # family ran clean in r3 and needs no re-run. Every entry below carries a
 # full SQL oracle, so the target is 50/50 hash-match rows, 0 err.
 # Round-5 rotation note: after r4's verdicts land, the only oracle-bearing
-# query never windowed is `agg_histogram_totalprice` (added late in r4) —
-# swap it in, plus any query whose engine path changes in r5, plus a
+# queries never windowed are `agg_histogram_totalprice` and
+# `sample_temperature_mix` (added late in r4) — swap them in, plus any
+# query whose engine path changes in r5, plus a
 # freshness spread of the oldest cumulative greens (q2/q4/q6/q17/q22,
 # events_tumbling_10m, sim_cosine_topk, udf_pandas_saturation rotated out
 # during r4). The r4-new rows-only twins (sim_cosine_topk_pandas,
