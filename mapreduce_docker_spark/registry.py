@@ -115,15 +115,15 @@ def _load_all() -> None:
 # pinned in tests/test_oracle_parity.py instead. The streaming rows-only
 # family ran clean in r3 and needs no re-run. Every entry below carries a
 # full SQL oracle, so the target is 50/50 hash-match rows, 0 err.
-# Round-5 rotation note: after r4's verdicts land, the only oracle-bearing
-# queries never windowed are `agg_histogram_totalprice` and
-# `sample_temperature_mix` (added late in r4) — swap them in, plus any
-# query whose engine path changes in r5, plus a
-# freshness spread of the oldest cumulative greens (q2/q4/q6/q17/q22,
-# events_tumbling_10m, sim_cosine_topk, udf_pandas_saturation rotated out
-# during r4). The r4-new rows-only twins (sim_cosine_topk_pandas,
-# streaming_sessionize) are pinned equal to oracle-checked paths in pytest
-# and only need a window slot if a clean no_oracle driver row is wanted.
+# Round-5 rotation note: every oracle-bearing query is in a window by end
+# of r4 (histogram + temperature mix took the last two slots). Rotate r5
+# toward (a) any query whose engine path changes, and (b) a freshness
+# spread of the oldest cumulative greens (q2/q4/q6/q17/q18/q22,
+# events_tumbling_10m, sim_cosine_topk, sim_ann_srp, udf_pandas_saturation,
+# sql_interface_revenue_by_nation rotated out during r4). The r4-new
+# rows-only twins (sim_cosine_topk_pandas, streaming_sessionize) are
+# pinned equal to oracle-checked paths in pytest and only need a window
+# slot if a clean no_oracle driver row is wanted.
 _PRIORITY_WINDOW = (
     # canaries (driver-green r1-r3)
     "wordcount",
@@ -157,6 +157,8 @@ _PRIORITY_WINDOW = (
     "text_bpe_token_stats",
     "text_bpe_top_pieces",
     "emb_vector_store_build",
+    "agg_histogram_totalprice",
+    "sample_temperature_mix",
     # engine path changed in r4 (salted LSH routing / langid de-broadcast)
     "dedup_minhash_survivors",
     "dedup_minhash_clusters",
@@ -167,9 +169,7 @@ _PRIORITY_WINDOW = (
     # freshness spread: r1/r2 greens not re-checked since
     "q3_shipping_priority",
     "q5_local_supplier",
-    "q18_large_orders",
     "q21_waiting_suppliers_onepass",
-    "sql_interface_revenue_by_nation",
     "asof_purchase_prior_view",
     "range_join_events_in_order_window",
     "skew_salted_user_value_sums",
