@@ -1,10 +1,11 @@
 """Event-sequence analytics over ``events`` (SURVEY §2.5 windows + §2.4 A7).
 
 The reference has no event model at all — these queries extend the engine's
-analytic-window surface (SURVEY §2.5 [EXT]) to the two sequence shapes every
-product-analytics workload needs: a strictly-ordered conversion funnel and a
-first-order event-transition (Markov) matrix. Both are single-scan,
-window-function designs:
+analytic-window surface (SURVEY §2.5 [EXT]) to the sequence shapes every
+product-analytics workload needs: a strictly-ordered conversion funnel, a
+first-order event-transition (Markov) matrix, and gap-based sessionization
+with stable session ids (streaming twin in streaming/stream_demo.py). All
+are single-scan, window-function designs:
 
 * the funnel computes its per-user stage timestamps with THREE chained
   unordered-frame window aggregates over the SAME ``user_id`` partitioning —
