@@ -1,0 +1,322 @@
+"""Physical-layout, interchange, and table-maintenance queries (driver-visible).
+
+The reference system's storage story is one TSV written by the driver
+(reference coordinator.py:131-134) and a fixed chunk->worker placement
+(coordinator.py:95-96). At 100 TB, LAYOUT is the optimization surface — so
+this module makes the engine's layout levers driver-checkable, each as a
+registered query whose read-back answer must hash-match an oracle computed
+on the ORIGINAL fixtures (layout proven value-preserving, not just
+plan-pretty):
+
+* bucketed tables     — the shuffle for a recurring join key is paid once at
+                        write time; every later join/agg on that key runs
+                        exchange-free (tests/test_layout.py pins the no-
+                        Exchange plan; here the driver pins the values).
+* hive partitioning   — a low-cardinality key becomes directory structure;
+                        predicates on it prune at FILE LISTING time, before
+                        any I/O. The partition column round-trips through
+                        the directory name (string) back to DATE.
+* ND-JSON interchange — training-data drops arrive as JSON lines (the only
+                        JSON layout that splits across workers); prove the
+                        write->read loop is lossless including embedded
+                        newlines/quotes in document text.
+* ORC interchange     — the second columnar format Spark ships natively.
+* MERGE/upsert (CDC)  — Spark has no MERGE INTO over plain parquet; the
+                        standard emulation is ONE full-outer join on the key
+                        with per-column COALESCE(source, target) — matched
+                        rows take the update, unmatched source rows insert,
+                        unmatched target rows survive. One shuffle, AQE
+                        skew-safe: the same physical plan Delta/Iceberg
+                        execute under their file-pruning sugar.
+
+Staging discipline: every written layout lands under a content-digest-keyed
+path (sources/catalog.fixture_digest) — the driver rewrites fixtures in
+place between rounds, and a path-keyed cache would keep answering from last
+round's bytes while the oracle reads the fresh table (ADVICE.md r3).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_docker_spark.functions.rounding import dround
+from mapreduce_docker_spark.functions.rounding import sql as rsql
+from mapreduce_docker_spark.registry import register
+from mapreduce_docker_spark.sources.catalog import fixture_digest, load_table
+from mapreduce_docker_spark.sources.formats import read_ndjson, read_orc, write_ndjson, write_orc
+from mapreduce_docker_spark.sources.sinks import read_bucketed, write_bucketed, write_partitioned
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
+    """MERGE-INTO emulation over plain relations: upsert ``source`` into
+    ``target`` on ``key``.
+
+    Full-outer join on the key, then per-column ``coalesce(source, target)``:
+    matched keys take the source row (UPDATE), source-only keys insert,
+    target-only keys pass through. Exactly one shuffle on the merge key
+    (both sides hash-partition; AQE splits skewed keys); no driver
+    round-trip, no per-row Python. Schemas must match on ``target.columns``.
+    """
+    t = target.alias("t")
+    s = source.alias("s")
+    joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+            for c in target.columns
+        ]
+    )
+
+
+def _staging_dir(kind: str, digest: str) -> str:
+    return os.path.join(tempfile.gettempdir(), f"mds_{kind}_{digest}")
+
+
+def _write_once(kind: str, digest: str, write) -> str:
+    """Write a digest-keyed layout exactly once per fixture content.
+
+    The _SUCCESS marker gates re-writes: repeated invocations in one
+    process (bench warm runs, plan tests) and across processes reuse the
+    staged layout; a regenerated fixture changes the digest and stages a
+    fresh directory. Writes go to a tmp dir + atomic rename so a killed
+    writer can never leave a half-written layout that passes the gate.
+    """
+    out = _staging_dir(kind, digest)
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    tmp = out + ".tmp"
+    write(tmp)
+    # Spark's own commit protocol wrote tmp/_SUCCESS; promote atomically
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(tmp, out)
+    return out
+
+
+@register(
+    "layout_bucketed_join_revenue",
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {sum_price} AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """.format(sum_price=rsql("sum(o_totalprice)", 2)),
+    section="S7,J1-J2",
+    note=(
+        "bucketed-table layout proven value-preserving: orders and customer "
+        "are rewritten as 8-bucket tables hashed on the customer key, the "
+        "join runs over the bucketed scans (exchange-free when neither side "
+        "broadcasts — plan pinned in tests/test_layout_queries.py), and the "
+        "per-segment revenue must hash-match the oracle computed on the "
+        "ORIGINAL parquet. The write-side shuffle is paid once per fixture "
+        "digest and amortized over every subsequent call"
+    ),
+)
+def q_layout_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    digest = fixture_digest(sf_dir, "orders") + fixture_digest(sf_dir, "customer")
+    ot, ct = f"orders_bkt_{digest}", f"customer_bkt_{digest}"
+    # catalog is per-session; the warehouse directory is the durable thing.
+    # An existing _SUCCESS under the warehouse means a previous process (or
+    # an earlier call here) finished the bucketed write — just (re)register.
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for tbl, name, col in (
+        (ot, "orders", "o_custkey"),
+        (ct, "customer", "c_custkey"),
+    ):
+        loc = os.path.join(wh, tbl)
+        if not spark.catalog.tableExists(tbl):
+            # datasource tables carry their bucket spec in the catalog, not
+            # the files, so a fresh session must re-create the table entry to
+            # get the bucketed scan — and saveAsTable refuses a managed
+            # location left behind by a previous session's catalog
+            # (LOCATION_ALREADY_EXISTS), so clear the orphaned directory
+            import shutil
+
+            shutil.rmtree(loc, ignore_errors=True)
+            write_bucketed(load_table(spark, sf_dir, name), tbl, col, n_buckets=8)
+    joined = read_bucketed(spark, ot).join(
+        read_bucketed(spark, ct),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dround(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@register(
+    "layout_partition_pruned_events",
+    """
+    SELECT CAST(ts::TIMESTAMP AS DATE) AS event_date,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           {sum_value} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """.format(sum_value=rsql("sum(value)", 2)),
+    section="S7,P4-P5",
+    note=(
+        "hive-partitioned layout proven value-preserving: events rewritten "
+        "partitioned by event date (30 directories — a low-cardinality key, "
+        "the only kind that belongs in directory structure), read back with "
+        "the partition column re-inferred as DATE from the directory names, "
+        "and the per-(date,type) rollup must hash-match the oracle on the "
+        "original table. Predicates on event_date prune at file-listing "
+        "time (PartitionFilters plan fact pinned in tests)"
+    ),
+)
+def q_layout_partition_pruned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    digest = fixture_digest(sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    out = _write_once(
+        "events_by_date", digest, lambda p: write_partitioned(ev, p, "event_date")
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("event_date", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        dround(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "docs_ndjson_roundtrip",
+    """
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+    FROM documents
+    GROUP BY lang, source
+    """,
+    section="S5,S7",
+    note=(
+        "ND-JSON interchange proven lossless: documents written as JSON "
+        "lines (the splittable JSON layout — one object per line, embedded "
+        "newlines/quotes escaped by the writer) and read back with an "
+        "explicit schema (never inferSchema: that is a second full scan at "
+        "100 TB), then rolled up per (lang, source) including a length sum "
+        "over the round-tripped text itself; must hash-match the oracle on "
+        "the original parquet"
+    ),
+)
+def q_docs_ndjson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    digest = fixture_digest(sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
+    out = _write_once("docs_ndjson", digest, lambda p: write_ndjson(docs, p))
+    back = read_ndjson(
+        spark, out, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+    )
+
+
+@register(
+    "events_orc_roundtrip",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           {sum_value} AS sum_value,
+           strftime(min(ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+           strftime(max(ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+    FROM events
+    GROUP BY event_type
+    """.format(sum_value=rsql("sum(value)", 2)),
+    section="S7",
+    note=(
+        "ORC interchange proven lossless including timestamp fidelity: the "
+        "normalized events table written to ORC and read back, per-type "
+        "rollup with min/max timestamps rendered as strings (both engines "
+        "print µs timestamps identically under the pinned-UTC session) must "
+        "hash-match the oracle on the original parquet"
+    ),
+)
+def q_events_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    digest = fixture_digest(sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events")
+    out = _write_once("events_orc", digest, lambda p: write_orc(ev, p))
+    back = read_orc(spark, out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        dround(F.sum("value"), 2).alias("sum_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("first_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+    )
+
+
+# CDC batch derived DETERMINISTICALLY from the fixture itself so engine and
+# oracle construct the identical source relation: every 97th order key gets
+# an update (status 'U', 5% price bump — pure IEEE double arithmetic, both
+# engines compute the same bits), every 101st key spawns an insert under a
+# shifted key far above the fixture's key space.
+_MERGE_INSERT_SHIFT = 100_000_000
+
+
+@register(
+    "merge_upsert_orders",
+    """
+    WITH src AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             o_totalprice * 1.05 AS o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 = 0
+      UNION ALL
+      SELECT o_orderkey + {shift} AS o_orderkey, o_custkey, 'N' AS o_orderstatus,
+             o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    merged AS (
+      SELECT * FROM src
+      UNION ALL
+      SELECT o.* FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = o.o_orderkey)
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {sum_price} AS total_price
+    FROM merged
+    GROUP BY o_orderstatus
+    """.format(shift=_MERGE_INSERT_SHIFT, sum_price=rsql("sum(o_totalprice)", 2)),
+    section="J1,A7",
+    note=(
+        "MERGE INTO emulated over plain relations: a deterministic CDC "
+        "batch (updates on every 97th key, inserts on every 101st under "
+        "shifted keys) is upserted into orders via ONE full-outer join with "
+        "per-column coalesce(source, target) — matched rows update, "
+        "source-only rows insert, the rest survive — then the merged table "
+        "is rolled up per status. The oracle constructs the same merge "
+        "relationally (anti-join + union, provably the same relation); the "
+        "engine path exercises the join machinery Delta/Iceberg MERGE "
+        "lowers to. One shuffle on the merge key, AQE skew-safe"
+    ),
+)
+def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    updates = (
+        orders.filter(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * F.lit(1.05))
+    )
+    inserts = (
+        orders.filter(F.col("o_orderkey") % 101 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(_MERGE_INSERT_SHIFT))
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    merged = merge_upsert(orders, updates.unionByName(inserts), "o_orderkey")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dround(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

@@ -69,6 +69,7 @@ def _load_all() -> None:
         "udf",
         "profile",
         "funnel",
+        "layout",
     ):
         fq = f"mapreduce_docker_spark.operators.{mod}_queries"
         try:
@@ -115,11 +116,13 @@ def _load_all() -> None:
 # pinned in tests/test_oracle_parity.py instead. The streaming rows-only
 # family ran clean in r3 and needs no re-run. Every entry below carries a
 # full SQL oracle, so the target is 50/50 hash-match rows, 0 err.
-# Round-5 rotation note: every oracle-bearing query is in a window by end
-# of r4 (histogram + temperature mix took the last two slots). Rotate r5
-# toward (a) any query whose engine path changes, and (b) a freshness
-# spread of the oldest cumulative greens (q2/q4/q6/q17/q18/q22,
-# events_tumbling_10m, sim_cosine_topk, sim_ann_srp, udf_pandas_saturation,
+# Round-5 rotation note: rotate r5 toward (a) the five layout/maintenance
+# queries registered after the r4 window froze (layout_bucketed_join_revenue,
+# layout_partition_pruned_events, docs_ndjson_roundtrip, events_orc_roundtrip,
+# merge_upsert_orders — all full-oracle, never driver-checked), (b) any query
+# whose engine path changes in r5, and (c) a freshness spread of the oldest
+# cumulative greens (q2/q4/q6/q17/q18/q22, events_tumbling_10m,
+# sim_cosine_topk, sim_ann_srp, udf_pandas_saturation,
 # sql_interface_revenue_by_nation rotated out during r4). The r4-new
 # rows-only twins (sim_cosine_topk_pandas, streaming_sessionize) are
 # pinned equal to oracle-checked paths in pytest and only need a window

@@ -1,0 +1,116 @@
+"""Plan-shape and staging-discipline tests for the layout/CDC query family.
+
+Value parity with the oracle is covered by test_oracle_parity.py; these pin
+the PHYSICAL facts that make the same queries feasible at 100 TB, plus the
+digest-keyed staging rules (a rewritten fixture must never be answered from
+a stale staged layout).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from mapreduce_docker_spark.operators.layout_queries import (
+    _staging_dir,
+    merge_upsert,
+    q_layout_bucketed_join_revenue,
+    q_layout_partition_pruned_events,
+)
+from mapreduce_docker_spark.sources.catalog import fixture_digest, load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_query_is_exchange_free(spark):
+    """With broadcast off (the 100 TB case — neither side fits), the
+    registered query's join must run over the bucketed scans without any
+    hash-partitioning Exchange: the shuffle was paid at write time."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q_layout_bucketed_join_revenue(spark, SF)
+        plan = _plan(df)
+        assert "SortMergeJoin" in plan, plan
+        join_part = plan.split("SortMergeJoin", 1)[1]
+        assert "Exchange hashpartitioning(o_custkey" not in join_part, plan
+        assert "Exchange hashpartitioning(c_custkey" not in join_part, plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_partitioned_layout_prunes_and_types_partition_column(spark):
+    # materialize the layout via the registered query, then read it directly
+    q_layout_partition_pruned_events(spark, SF).collect()
+    out = _staging_dir("events_by_date", fixture_digest(SF, "events"))
+    back = spark.read.parquet(out)
+    # the partition column came back typed DATE from the directory names
+    assert dict(back.dtypes)["event_date"] == "date"
+    one_day = back.select(F.min("event_date")).first()[0]
+    pruned = back.filter(F.col("event_date") == F.lit(one_day))
+    plan = _plan(pruned)
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2 and "event_date" in pf[1].split("]", 1)[0], plan
+    # and the layout kept the rows of that day intact (inputFiles() lists
+    # the unpruned index, so the file-level fact is the PartitionFilters
+    # entry above; the value fact is row parity with the unpartitioned scan)
+    ev = load_table(spark, SF, "events")
+    assert pruned.count() == ev.filter(F.col("ts").cast("date") == F.lit(one_day)).count()
+
+
+def test_merge_upsert_is_single_shuffle_and_semantically_merge(spark):
+    orders = load_table(spark, SF, "orders")
+    src = (
+        orders.filter(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .limit(50)
+    )
+    merged = merge_upsert(orders, src, "o_orderkey")
+    plan = _plan(merged)
+    # exactly one join, full outer, no nested loop
+    assert plan.count("Join FullOuter") + plan.count("SortMergeJoin [o_orderkey") >= 1
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    # row accounting: updates replace, inserts add, the rest survive
+    n_target = orders.count()
+    upd_keys = {r[0] for r in src.select("o_orderkey").collect()}
+    assert merged.count() == n_target  # all matched -> pure update
+    got_status = (
+        merged.filter(F.col("o_orderkey").isin(list(upd_keys)))
+        .select("o_orderstatus")
+        .distinct()
+        .collect()
+    )
+    assert [r[0] for r in got_status] == ["U"]
+    ins = src.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10**9))
+    assert merge_upsert(orders, ins, "o_orderkey").count() == n_target + ins.count()
+
+
+def test_staged_layouts_key_on_fixture_content(tmp_path, spark):
+    """A rewritten fixture (same path, new bytes) must stage a FRESH layout:
+    the staging key is the content digest, so the old directory is simply
+    not consulted."""
+    import shutil
+
+    src = os.path.join(str(tmp_path), "sf")
+    shutil.copytree(SF, src, dirs_exist_ok=True)
+    d1 = fixture_digest(src, "events")
+    q_layout_partition_pruned_events(spark, src).collect()
+    assert os.path.exists(os.path.join(_staging_dir("events_by_date", d1), "_SUCCESS"))
+    # rewrite events.parquet in place (drop half the rows)
+    ev = load_table(spark, src, "events").filter(F.col("event_id") % 2 == 0)
+    tmp_out = os.path.join(str(tmp_path), "events_new.parquet")
+    ev.toPandas().to_parquet(tmp_out)  # bounded fixture rewrite, test-only
+    shutil.rmtree(os.path.join(src, "events.parquet"), ignore_errors=True)
+    if os.path.exists(os.path.join(src, "events.parquet")):
+        os.remove(os.path.join(src, "events.parquet"))
+    shutil.move(tmp_out, os.path.join(src, "events.parquet"))
+    d2 = fixture_digest(src, "events")
+    assert d2 != d1
+    n = q_layout_partition_pruned_events(spark, src).agg(F.sum("n_events")).first()[0]
+    assert n == ev.count()
