@@ -70,6 +70,7 @@ def _load_all() -> None:
         "profile",
         "funnel",
         "layout",
+        "membership",
     ):
         fq = f"mapreduce_docker_spark.operators.{mod}_queries"
         try:
@@ -116,10 +117,11 @@ def _load_all() -> None:
 # pinned in tests/test_oracle_parity.py instead. The streaming rows-only
 # family ran clean in r3 and needs no re-run. Every entry below carries a
 # full SQL oracle, so the target is 50/50 hash-match rows, 0 err.
-# Round-5 rotation note: rotate r5 toward (a) the five layout/maintenance
-# queries registered after the r4 window froze (layout_bucketed_join_revenue,
+# Round-5 rotation note: rotate r5 toward (a) the queries registered after
+# the r4 window froze (layout_bucketed_join_revenue,
 # layout_partition_pruned_events, docs_ndjson_roundtrip, events_orc_roundtrip,
-# merge_upsert_orders — all full-oracle, never driver-checked), (b) any query
+# merge_upsert_orders, bloom_benchmark_filter, text_decontaminate_bloom —
+# all full-oracle, never driver-checked), (b) any query
 # whose engine path changes in r5, and (c) a freshness spread of the oldest
 # cumulative greens (q2/q4/q6/q17/q18/q22, events_tumbling_10m,
 # sim_cosine_topk, sim_ann_srp, udf_pandas_saturation,
