@@ -1,0 +1,295 @@
+"""Graph analytics over relations the engine already derives.
+
+Two graphs, both born from existing oracle-checked stages (no synthetic
+side inputs — the driver fixtures are the only source of truth):
+
+* the NEAR-DUP GRAPH: vertices are documents, edges the verified MinHash
+  pairs (dedup_queries.dedup_minhash_pairs). Triangle census over it
+  answers a real curation question — how clique-like is the duplicate
+  structure (boilerplate families form near-cliques; chains of borderline
+  pairs do not) — and is fully SQL-expressible, so unlike most graph
+  engines this one gets a bit-exact DuckDB oracle.
+* the PURCHASE GRAPH: a bipartite customer↔supplier graph with one edge
+  per distinct (o_custkey, l_suppkey) trading relationship. Degree
+  distribution is oracle-checked; PageRank (power iteration) is the
+  iterative-algorithm representative — per-iteration float sums are
+  partition-order dependent, so it registers rows-only and is pinned
+  against a numpy reference within 1e-9 in tests/test_graph.py.
+
+Scale notes:
+* triangle counting uses the standard ORIENTED enumeration (every edge
+  stored once as lo<hi, wedges closed from each node's ordered neighbor
+  list): each triangle is found exactly once, and the join fans out on
+  ordered degree — the skew cap is the max ORIENTED degree, which the
+  lo<hi orientation keeps near-minimal. Cost: one self-join of the edge
+  list on the wedge apex + one hash probe back into edges. At web scale
+  this is the plan GraphX/Pregel lower to anyway, minus their vertex-cut
+  bookkeeping.
+* wedges come from degrees (sum deg*(deg-1)/2) — a groupBy, no join.
+* PageRank is O(iterations) shuffle rounds of (edge join ranks) +
+  groupBy-sum — the textbook distributed formulation; lineage is
+  truncated with localCheckpoint every few rounds exactly like the
+  connected-components loop (dedup_queries), or checkpointed to parquet
+  on a real cluster. Dangling mass (suppliers with no outgoing side here:
+  none — the graph is symmetrized) is redistributed uniformly.
+
+Reference lineage: the reference has no graph surface; [EXT] breadth item
+(SURVEY.md §2.10 family), same mandate class as dedup's connected
+components — which this module complements with counting/centrality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_docker_spark.functions.rounding import dround
+from mapreduce_docker_spark.functions.rounding import sql as rsql
+from mapreduce_docker_spark.operators import dedup_queries  # noqa: F401 - the
+# composed triangle oracle nests dedup_minhash_pairs' registered SQL, which
+# must exist at THIS module's import time (not just under registry._load_all)
+from mapreduce_docker_spark.registry import register
+from mapreduce_docker_spark.sources.catalog import load_table
+
+PAGERANK_ITERS = 10
+PAGERANK_D = 0.85
+
+
+def _dup_edges_sql() -> str:
+    """The near-dup pair relation's oracle SQL, nested verbatim as a derived
+    table — the composed oracle cannot drift from the stage it reuses."""
+    from mapreduce_docker_spark.registry import _REGISTRY
+
+    pairs = _REGISTRY["dedup_minhash_pairs"].sql
+    return f"(SELECT doc_a AS lo, doc_b AS hi FROM ({pairs}))"
+
+
+def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_docker_spark.operators.dedup_queries import dedup_minhash_pairs
+
+    return dedup_minhash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("lo"), F.col("doc_b").alias("hi")
+    )
+
+
+@register(
+    "graph_triangle_stats",
+    f"""
+    WITH e AS (SELECT lo, hi FROM {_dup_edges_sql()}),
+    deg AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT lo AS v FROM e UNION ALL SELECT hi AS v FROM e)
+      GROUP BY v
+    ),
+    tri AS (
+      -- oriented wedge closure: lo<hi on every edge means each triangle
+      -- a<b<c is produced exactly once, as wedge (a-b, a-c) closed by (b-c)
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM e e1 JOIN e e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+      JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(COALESCE(sum(d * (d - 1) / 2), 0) AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT n_triangles FROM tri) AS n_triangles,
+           (SELECT CASE WHEN COALESCE(sum(d * (d - 1) / 2), 0) = 0 THEN 0.0
+                   ELSE {rsql("3.0 * (SELECT n_triangles FROM tri) / sum(d * (d - 1) / 2)", 6)}
+                   END FROM deg) AS clustering
+    """,
+    section="U2,J1",
+    note=(
+        "triangle census of the verified near-dup graph (edges = "
+        "dedup_minhash_pairs, oracle nested verbatim): nodes, edges, wedges "
+        "from degrees, triangles via oriented lo<hi wedge closure (each "
+        "triangle counted exactly once, join fan-out bounded by oriented "
+        "degree), and the global clustering coefficient 3*tri/wedges — "
+        "clique-like boilerplate families vs chains of borderline pairs"
+    ),
+)
+def q_graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _dup_edges(spark, sf_dir)
+    # the edge list is reused by four aggregates and two self-join probes;
+    # persist the tiny verified-pair relation instead of re-running LSH
+    e = e.persist()
+    try:
+        deg = (
+            e.select(F.col("lo").alias("v"))
+            .unionAll(e.select(F.col("hi").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+        tri = (
+            e1.join(
+                e2,
+                (F.col("e1.lo") == F.col("e2.lo")) & (F.col("e1.hi") < F.col("e2.hi")),
+            )
+            .join(
+                e3,
+                (F.col("e3.lo") == F.col("e1.hi")) & (F.col("e3.hi") == F.col("e2.hi")),
+            )
+            .agg(F.count(F.lit(1)).alias("n_triangles"))
+        )
+        n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+        n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+        wedges = deg.agg(
+            F.coalesce(
+                F.sum(F.col("d") * (F.col("d") - 1) / F.lit(2)), F.lit(0.0)
+            )
+            .cast("long")
+            .alias("n_wedges")
+        )
+        out = (
+            n_nodes.crossJoin(n_edges)
+            .crossJoin(wedges)
+            .crossJoin(tri)
+            .select(
+                "n_nodes",
+                "n_edges",
+                "n_wedges",
+                "n_triangles",
+                F.when(F.col("n_wedges") == 0, F.lit(0.0))
+                .otherwise(
+                    dround(
+                        F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+                    )
+                )
+                .alias("clustering"),
+            )
+        )
+        # materialize before unpersist so the cached edges feed every branch
+        out = out.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+    return out
+
+
+def _purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customer↔supplier trading edges from orders ⋈ lineitem."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+
+
+@register(
+    "graph_degree_distribution",
+    """
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    deg AS (
+      SELECT 'customer' AS side, cust AS v, CAST(count(*) AS BIGINT) AS degree
+      FROM e GROUP BY cust
+      UNION ALL
+      SELECT 'supplier' AS side, supp AS v, CAST(count(*) AS BIGINT) AS degree
+      FROM e GROUP BY supp
+    )
+    SELECT side, degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg
+    GROUP BY side, degree
+    """,
+    section="A7,J1",
+    note=(
+        "degree distribution of the bipartite customer-supplier purchase "
+        "graph (one edge per distinct trading relationship): per side, how "
+        "many nodes have each degree — the skew diagnostic every graph "
+        "algorithm here starts from; two groupBys after one equi-join, "
+        "all map-side-combinable"
+    ),
+)
+def q_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _purchase_edges(spark, sf_dir)
+    deg = (
+        e.groupBy(F.col("cust").alias("v"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.lit("customer").alias("side"), "v", "degree")
+        .unionByName(
+            e.groupBy(F.col("supp").alias("v"))
+            .agg(F.count(F.lit(1)).alias("degree"))
+            .select(F.lit("supplier").alias("side"), "v", "degree")
+        )
+    )
+    return deg.groupBy("side", "degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@register(
+    "graph_pagerank_purchases",
+    None,  # iterative float accumulation: partition-order-dependent sums;
+    # pinned against a numpy power iteration within 1e-9 in tests/test_graph.py
+    section="U2",
+    note=(
+        f"PageRank (d={PAGERANK_D}, {PAGERANK_ITERS} power iterations) over "
+        "the symmetrized customer-supplier purchase graph; returns the "
+        "top-20 nodes by rank with deterministic (side, id) tiebreak. "
+        "Each iteration: edges join ranks, contributions groupBy-sum — one "
+        "shuffle round per iteration, lineage truncated every 3 rounds via "
+        "localCheckpoint (the connected-components discipline); rows-only "
+        "because distributed float addition is partition-order dependent"
+    ),
+)
+def q_graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _purchase_edges(spark, sf_dir)
+    # symmetrize with typed node ids (customer ids and supplier ids share an
+    # integer domain): side 'c'/'s' disambiguates
+    edges = (
+        e.select(
+            F.concat(F.lit("c"), F.col("cust")).alias("src"),
+            F.concat(F.lit("s"), F.col("supp")).alias("dst"),
+        )
+        .unionByName(
+            e.select(
+                F.concat(F.lit("s"), F.col("supp")).alias("src"),
+                F.concat(F.lit("c"), F.col("cust")).alias("dst"),
+            )
+        )
+        .persist()
+    )
+    try:
+        out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+        nodes = edges.select(F.col("src").alias("v")).distinct().persist()
+        n = nodes.count()  # bounded: node count, not row data
+        ranks = nodes.select("v", F.lit(1.0 / n).alias("rank"))
+        for i in range(PAGERANK_ITERS):
+            contribs = (
+                edges.join(ranks, edges["src"] == ranks["v"])
+                .join(out_deg, "src")
+                .select(F.col("dst").alias("v"), (F.col("rank") / F.col("odeg")).alias("c"))
+                .groupBy("v")
+                .agg(F.sum("c").alias("inflow"))
+            )
+            # symmetrized graph has no dangling nodes (every node has odeg>0)
+            ranks = nodes.join(contribs, "v", "left").select(
+                "v",
+                (
+                    F.lit((1.0 - PAGERANK_D) / n)
+                    + F.lit(PAGERANK_D) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            if (i + 1) % 3 == 0:
+                ranks = ranks.localCheckpoint(eager=True)
+        # order by the ROUNDED rank: raw doubles differ in the last ulp with
+        # partition order, so structurally-tied nodes would flip; 9-decimal
+        # rounding + the v tiebreak makes the top-20 deterministic
+        rounded = ranks.select("v", dround(F.col("rank"), 9).alias("rank"))
+        top = (
+            rounded.orderBy(F.desc("rank"), F.asc("v"))
+            .limit(20)
+            .select(
+                F.substring("v", 1, 1).alias("side"),
+                F.substring("v", 2, 30).cast("long").alias("node_id"),
+                "rank",
+            )
+        )
+        top = top.localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
+        try:
+            nodes.unpersist()
+        except NameError:  # pragma: no cover - edges.persist() itself failed
+            pass
+    return top
