@@ -1054,6 +1054,70 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LENGTH_BUCKETS = 8
+
+
+@register(
+    "text_length_buckets",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT lang, n_tokens,
+             CAST(ntile({LENGTH_BUCKETS}) OVER (
+               PARTITION BY lang ORDER BY n_tokens, doc_id
+             ) AS BIGINT) AS bucket
+      FROM d WHERE n_tokens > 0
+    )
+    SELECT lang, bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS padding_waste,
+           {rsql("(count(*) * max(n_tokens) - sum(n_tokens)) / (count(*) * max(n_tokens))", 6)} AS pad_ratio
+    FROM b
+    GROUP BY lang, bucket
+    """,
+    section="U4,A7",
+    note=(
+        f"length-bucketed batching: per-lang NTILE({LENGTH_BUCKETS}) over "
+        "(token count, doc_id) assigns docs to equal-size length buckets, "
+        "then per-bucket padding accounting — padding_waste = what a "
+        "pad-to-bucket-max batcher burns, pad_ratio its share — the "
+        "pre-training batching efficiency lever (similar-length batching "
+        "is how you avoid padding to the global max). The window "
+        "partitions by lang so no global total order exists; at corpus "
+        "scale the exact NTILE swaps for approx-percentile cut points "
+        "broadcast to the scan (the RangePartitioner sampling pattern) — "
+        "same bucket semantics, no per-key sort"
+    ),
+)
+def text_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id", "lang", F.size(tokens("text")).cast("long").alias("n_tokens")
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    b = d.select("lang", "n_tokens", F.ntile(LENGTH_BUCKETS).over(w).cast("long").alias("bucket"))
+    waste = F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")
+    return b.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        waste.cast("long").alias("padding_waste"),
+        dround(
+            waste / (F.count(F.lit(1)) * F.max("n_tokens")), 6
+        ).alias("pad_ratio"),
+    )
+
+
 SPLIT_TRAIN_PCT = 90
 SPLIT_VAL_PCT = 5  # test gets the remainder
 
