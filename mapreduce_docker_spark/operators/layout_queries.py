@@ -266,9 +266,24 @@ def q_events_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MERGE_INSERT_SHIFT = 100_000_000
 
 
-@register(
-    "merge_upsert_orders",
-    """
+def _cdc_batches(orders: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The deterministic (updates, inserts) CDC batch pair over ``orders``."""
+    updates = (
+        orders.filter(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * F.lit(1.05))
+    )
+    inserts = (
+        orders.filter(F.col("o_orderkey") % 101 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(_MERGE_INSERT_SHIFT))
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    return updates, inserts
+
+
+# shared by merge_upsert_orders and its incremental twin: same question,
+# two engine paths (full merge+recompute vs delta maintenance), one oracle
+_MERGE_ORACLE = """
     WITH src AS (
       SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
              o_totalprice * 1.05 AS o_totalprice, o_orderdate, o_orderpriority
@@ -289,7 +304,12 @@ _MERGE_INSERT_SHIFT = 100_000_000
            {sum_price} AS total_price
     FROM merged
     GROUP BY o_orderstatus
-    """.format(shift=_MERGE_INSERT_SHIFT, sum_price=rsql("sum(o_totalprice)", 2)),
+    """.format(shift=_MERGE_INSERT_SHIFT, sum_price=rsql("sum(o_totalprice)", 2))
+
+
+@register(
+    "merge_upsert_orders",
+    _MERGE_ORACLE,
     section="J1,A7",
     note=(
         "MERGE INTO emulated over plain relations: a deterministic CDC "
@@ -305,18 +325,57 @@ _MERGE_INSERT_SHIFT = 100_000_000
 )
 def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    updates = (
-        orders.filter(F.col("o_orderkey") % 97 == 0)
-        .withColumn("o_orderstatus", F.lit("U"))
-        .withColumn("o_totalprice", F.col("o_totalprice") * F.lit(1.05))
-    )
-    inserts = (
-        orders.filter(F.col("o_orderkey") % 101 == 0)
-        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(_MERGE_INSERT_SHIFT))
-        .withColumn("o_orderstatus", F.lit("N"))
-    )
+    updates, inserts = _cdc_batches(orders)
     merged = merge_upsert(orders, updates.unionByName(inserts), "o_orderkey")
     return merged.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         dround(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "merge_upsert_orders_incremental",
+    _MERGE_ORACLE,
+    section="A7,ST3",
+    note=(
+        "incremental view maintenance under the SAME oracle as "
+        "merge_upsert_orders: instead of merging and re-aggregating the "
+        "whole table, the per-status (count, sum) aggregate is maintained "
+        "from the base aggregate plus signed CDC deltas — each update "
+        "contributes (-1, -old_price) to its old status and (+1, +new_price) "
+        "to its new one, inserts contribute (+1, +price) — then base ⊎ "
+        "delta folds by status. Cost scales with |CDC batch| + |distinct "
+        "statuses|, NOT with the table: the 100 TB materialized-view "
+        "pattern (mergeable aggregates only; non-mergeable stats need the "
+        "full recompute path the twin query measures)"
+    ),
+)
+def q_merge_upsert_orders_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    updates, inserts = _cdc_batches(orders)
+    base = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("dn"),
+        F.sum("o_totalprice").alias("ds"),
+    )
+    # signed deltas: updated rows leave their old status and join 'U'
+    upd_keys = orders.filter(F.col("o_orderkey") % 97 == 0)
+    retract = upd_keys.select(
+        "o_orderstatus", F.lit(-1).cast("long").alias("dn"), (-F.col("o_totalprice")).alias("ds")
+    )
+    apply_u = updates.select(
+        "o_orderstatus", F.lit(1).cast("long").alias("dn"), F.col("o_totalprice").alias("ds")
+    )
+    apply_n = inserts.select(
+        "o_orderstatus", F.lit(1).cast("long").alias("dn"), F.col("o_totalprice").alias("ds")
+    )
+    folded = (
+        base.unionByName(retract).unionByName(apply_u).unionByName(apply_n)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("dn").alias("n"), F.sum("ds").alias("s"))
+        .filter(F.col("n") > 0)  # a status whose rows all migrated away
+    )
+    return folded.select(
+        "o_orderstatus",
+        F.col("n").alias("n_orders"),
+        dround(F.col("s"), 2).alias("total_price"),
     )

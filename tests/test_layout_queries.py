@@ -91,6 +91,20 @@ def test_merge_upsert_is_single_shuffle_and_semantically_merge(spark):
     assert merge_upsert(orders, ins, "o_orderkey").count() == n_target + ins.count()
 
 
+def test_incremental_merge_agg_is_join_free(spark):
+    """The incremental twin maintains the aggregate from signed deltas:
+    unions + one groupBy, no join anywhere — the cost model that makes it
+    O(|CDC| + |statuses|) instead of O(|table|) re-merge."""
+    from mapreduce_docker_spark.operators.layout_queries import (
+        q_merge_upsert_orders_incremental,
+    )
+
+    df = q_merge_upsert_orders_incremental(spark, SF)
+    plan = _plan(df)
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "NestedLoop"):
+        assert j not in plan, plan
+
+
 def test_staged_layouts_key_on_fixture_content(tmp_path, spark):
     """A rewritten fixture (same path, new bytes) must stage a FRESH layout:
     the staging key is the content digest, so the old directory is simply
