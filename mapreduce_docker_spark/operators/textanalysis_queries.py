@@ -307,6 +307,93 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_PAIR_DF_MIN = 2  # df=1 terms cannot co-occur — pruned before the join
+TFIDF_PAIR_DF_CAP = 10  # posting-list cap: join fan-out per term <= cap^2/2
+TFIDF_PAIR_MIN_COS = 0.5
+
+
+@register(
+    "text_tfidf_pair_cosine",
+    f"""
+    WITH d AS (SELECT doc_id, {_SQL_SHINGLES_TA} AS sh FROM documents),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM d),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    wdf AS (
+      SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM ex
+    ),
+    kept AS (
+      SELECT doc_id, s, ln((SELECT n FROM nn) / CAST(df AS DOUBLE)) AS w
+      FROM wdf WHERE df BETWEEN {TFIDF_PAIR_DF_MIN} AND {TFIDF_PAIR_DF_CAP}
+    ),
+    norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM kept GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+      FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, cos_sim FROM (
+      SELECT doc_a, doc_b, {rsql("dot / (x.nrm * y.nrm)", 6)} AS cos_sim
+      FROM dots
+      JOIN norms x ON x.doc_id = doc_a
+      JOIN norms y ON y.doc_id = doc_b
+    ) WHERE cos_sim >= {TFIDF_PAIR_MIN_COS}
+    """,
+    section="U3,J5",
+    note=(
+        "sparse-vector pair similarity via an inverted index: docs as "
+        "idf-weighted shingle vectors (binary tf over distinct shingles), "
+        "candidate pairs from a posting-list self-join on the term, cosine "
+        "= dot/(|a||b|) over the PRUNED vocabulary (df in "
+        f"[{TFIDF_PAIR_DF_MIN},{TFIDF_PAIR_DF_CAP}]). The df floor drops "
+        "can't-co-occur terms; the cap drops boilerplate terms, bounding "
+        "the join fan-out per term at cap²/2 — the classical IR complement "
+        "to the MinHash (set) and embedding (dense) similarity lanes; the "
+        "threshold compares ROUNDED cosines (cut-line discipline). At "
+        "corpus scale the weighted postings materialize once "
+        "(localCheckpoint here; a parquet term index in production) and "
+        "feed the df window, the norms, and both join sides from one "
+        "tokenize"
+    ),
+)
+def text_tfidf_pair_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    ex = docs.select("doc_id", F.explode(th.shingles(tokens("text"))).alias("s"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("s"))
+    kept = (
+        ex.select("doc_id", "s", df_w.alias("df"))
+        .filter(
+            (F.col("df") >= TFIDF_PAIR_DF_MIN) & (F.col("df") <= TFIDF_PAIR_DF_CAP)
+        )
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "s", F.log(F.col("n") / F.col("df").cast("double")).alias("w"))
+    )
+    # one tokenize: the weighted postings feed norms AND both join sides —
+    # without materialization Catalyst re-derives the corpus three times
+    kept = kept.localCheckpoint(eager=False)
+    norms = kept.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a, b = kept.alias("a"), kept.alias("b")
+    dots = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    x = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    y = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            dround(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= TFIDF_PAIR_MIN_COS)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Fingerprints + lang/source rollup
 # ---------------------------------------------------------------------------
