@@ -250,25 +250,34 @@ def q_graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     try:
+        # fold the (static) out-degree into the edge list ONCE: the loop
+        # then pays a single join per iteration instead of two — at any
+        # scale the iteration cost is (edges ⋈ ranks) + one groupBy, period
         out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
-        nodes = edges.select(F.col("src").alias("v")).distinct().persist()
+        edges_w = (
+            edges.join(out_deg, "src")
+            .select("src", "dst", "odeg")
+            .localCheckpoint(eager=True)
+        )
+        nodes = edges_w.select(F.col("src").alias("v")).distinct().persist()
         n = nodes.count()  # bounded: node count, not row data
         ranks = nodes.select("v", F.lit(1.0 / n).alias("rank"))
         for i in range(PAGERANK_ITERS):
-            contribs = (
-                edges.join(ranks, edges["src"] == ranks["v"])
-                .join(out_deg, "src")
+            # the symmetrized graph has no dangling nodes AND no sink-less
+            # nodes: every node has out-edges (odeg>0) and in-edges, so the
+            # inflow aggregate already covers the full vertex set — no
+            # re-join against `nodes` to resurrect zero-inflow vertices.
+            # Iteration cost: ONE join + ONE groupBy, nothing else.
+            ranks = (
+                edges_w.join(ranks, edges_w["src"] == ranks["v"])
                 .select(F.col("dst").alias("v"), (F.col("rank") / F.col("odeg")).alias("c"))
                 .groupBy("v")
-                .agg(F.sum("c").alias("inflow"))
-            )
-            # symmetrized graph has no dangling nodes (every node has odeg>0)
-            ranks = nodes.join(contribs, "v", "left").select(
-                "v",
-                (
-                    F.lit((1.0 - PAGERANK_D) / n)
-                    + F.lit(PAGERANK_D) * F.coalesce(F.col("inflow"), F.lit(0.0))
-                ).alias("rank"),
+                .agg(
+                    (
+                        F.lit((1.0 - PAGERANK_D) / n)
+                        + F.lit(PAGERANK_D) * F.sum("c")
+                    ).alias("rank")
+                )
             )
             if (i + 1) % 3 == 0:
                 ranks = ranks.localCheckpoint(eager=True)

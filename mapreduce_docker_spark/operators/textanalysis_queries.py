@@ -25,7 +25,7 @@ from mapreduce_docker_spark.functions.rounding import sql as rsql
 from mapreduce_docker_spark.functions import texthash as th
 from mapreduce_docker_spark.functions.tokenize import tokens
 from mapreduce_docker_spark.registry import register
-from mapreduce_docker_spark.sources.catalog import load_table
+from mapreduce_docker_spark.sources.catalog import load_table, scatter
 
 # DuckDB twin of functions.tokenize.tokens()
 _SQL_TOKS = "regexp_extract_all(lower(text), '[a-z]+')"
@@ -1263,16 +1263,21 @@ def text_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     note=f"n-gram decontamination: corpus docs sharing any 3-token shingle with the benchmark set (doc_id < {DECON_BENCH_MAX_DOC} stands in for the eval set) are flagged with their distinct-shingle hit count; benchmark shingles broadcast (eval sets are bounded), corpus pays one scan + a broadcast hash join — no corpus-x-corpus shuffle",
 )
 def text_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir).select(
-        "doc_id", th.shingles(tokens("text")).alias("sh")
-    )
+    # explode applied DIRECTLY to the shingle expression: routing it through
+    # a named intermediate projection blocks Catalyst's project collapse
+    # before a generator and re-evaluates the tokenize+shingle chain
+    # (measured ~6x on this query at sf0.1); shingles() already emits a
+    # distinct array, so per-doc distinctness is preserved
     bench = (
-        d.filter(F.col("doc_id") < DECON_BENCH_MAX_DOC)
-        .select(F.explode("sh").alias("s"))
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < DECON_BENCH_MAX_DOC)
+        .select(F.explode(th.shingles(tokens("text"))).alias("s"))
         .distinct()
     )
-    corp = d.filter(F.col("doc_id") >= DECON_BENCH_MAX_DOC).select(
-        "doc_id", F.explode(F.array_distinct("sh")).alias("s")
+    corp = (
+        scatter(_docs(spark, sf_dir))
+        .filter(F.col("doc_id") >= DECON_BENCH_MAX_DOC)
+        .select("doc_id", F.explode(th.shingles(tokens("text"))).alias("s"))
     )
     return (
         corp.join(F.broadcast(bench), "s")

@@ -77,15 +77,20 @@ def test_bloom_filter_is_mergeable_by_bit_union(spark):
     assert len(whole) <= BLOOM_M
 
 
-def test_bloom_probe_broadcasts_the_bit_set(spark):
+def test_bloom_probe_is_joinless_mapside(spark):
+    """The filter ships as a bitmap literal; membership must be a map-side
+    expression — NO join anywhere in the probe plan, and the member filter
+    sits below the first exchange (only the contaminated subset shuffles)."""
     plan = (
         q_text_decontaminate_bloom(spark, SF)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "BroadcastHashJoin" in plan, plan
-    assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0], plan
+    for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin", "NestedLoop"):
+        assert j not in plan, plan
+    below_first_exchange = plan.split("Exchange", 1)[-1]
+    assert "substring" in below_first_exchange, plan
 
 
 def test_filter_stats_internally_consistent(spark):
