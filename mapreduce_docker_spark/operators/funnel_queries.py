@@ -256,3 +256,180 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         (F.max("us") - F.min("us")).cast("long").alias("duration_us"),
     )
+
+
+@register(
+    "events_compact_latest",
+    """
+    SELECT user_id, event_type, event_id AS last_event_id,
+           epoch_us(ts::TIMESTAMP) AS last_us
+    FROM (
+      SELECT user_id, event_type, event_id, ts,
+             row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    section="A7,U1",
+    note=(
+        "CDC log compaction: keep the LATEST event per (user, type) — "
+        "ts-desc with event_id tiebreak — the upsert-log -> current-state "
+        "collapse every changelog consumer performs. One shuffle on the "
+        "compaction key; per-key state in WindowExec is one row's metadata "
+        "since rn=1 short-circuits. At 100 TB this is the compaction pass "
+        "of a streaming table (same keying as the stateful dedup)"
+    ),
+)
+def events_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.col("us").alias("last_us"),
+        )
+    )
+
+
+@register(
+    "events_rolling_7d_active_users",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts::TIMESTAMP AS DATE) AS d FROM events
+    ),
+    daily AS (
+      SELECT CAST(ts::TIMESTAMP AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY 1
+    ),
+    rolling AS (
+      SELECT dd.d, CAST(count(DISTINCT ud.user_id) AS BIGINT) AS wau_7d
+      FROM (SELECT DISTINCT d FROM ud) dd
+      JOIN ud ON ud.d <= dd.d AND ud.d >= dd.d - 6
+      GROUP BY dd.d
+    )
+    SELECT daily.d AS event_date, n_events, dau, wau_7d
+    FROM daily JOIN rolling ON rolling.d = daily.d
+    """,
+    section="A7,J4",
+    note=(
+        "rolling 7-day active users: per active day, event count, DAU, and "
+        "trailing-7-day distinct users. Rolling DISTINCT is not mergeable, "
+        "so the exact form joins the per-(user, day) activity relation "
+        "against the (bounded, broadcast) distinct-day relation with a "
+        "6-day band — each activity row lands in <= 7 day-groups; at web "
+        "scale the same shape runs on the pre-collapsed (user, day) "
+        "relation (|users| x |days|, tiny vs events) or swaps the exact "
+        "count for the mergeable HLL-sketch union the A4 family provides"
+    ),
+)
+def events_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    ud = ev.distinct()
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("dau"),
+        )
+    )
+    days = ud.select("d").distinct().select(F.col("d").alias("dd"))
+    rolling = (
+        ud.join(
+            F.broadcast(days),
+            (F.col("d") <= F.col("dd")) & (F.col("d") >= F.date_sub(F.col("dd"), 6)),
+        )
+        .groupBy("dd")
+        .agg(F.countDistinct("user_id").alias("wau_7d"))
+    )
+    return (
+        daily.join(rolling, daily["d"] == rolling["dd"])
+        .select(F.col("d").alias("event_date"), "n_events", "dau", "wau_7d")
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    f"""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             date_trunc('week', CAST(ts::TIMESTAMP AS DATE)) AS wk
+      FROM events
+    ),
+    cohort AS (
+      SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM cohort GROUP BY cohort_wk
+    ),
+    active AS (
+      SELECT c.cohort_wk,
+             CAST(date_diff('day', c.cohort_wk, uw.wk) // 7 AS BIGINT) AS week_offset,
+             CAST(count(DISTINCT uw.user_id) AS BIGINT) AS n_active
+      FROM uw JOIN cohort c ON c.user_id = uw.user_id
+      GROUP BY 1, 2
+    )
+    SELECT CAST(a.cohort_wk AS DATE) AS cohort_week, a.week_offset, a.n_active,
+           s.cohort_size,
+           {rsql("CAST(a.n_active AS DOUBLE) / s.cohort_size", 4)} AS retention
+    FROM active a JOIN sizes s ON s.cohort_wk = a.cohort_wk
+    """,
+    section="A7,J1",
+    note=(
+        "retention cohort analysis: users cohorted by first-activity week "
+        "(ISO Monday truncation on both engines), per (cohort, week-offset) "
+        "distinct active users and their share of the cohort. Built "
+        "entirely on the pre-collapsed (user, week) relation — |users| x "
+        "|weeks| rows, tiny vs the event log — with a cohort join keyed on "
+        "user_id; offsets are exact integer arithmetic (both sides are "
+        "week-truncated, so the day diff is a multiple of 7)"
+    ),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    uw = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("ts").cast("date")).cast("date").alias("wk"),
+        )
+        .distinct()
+    )
+    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sizes = cohort.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    active = (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return active.join(sizes, "cohort_wk").select(
+        F.col("cohort_wk").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        dround(F.col("n_active").cast("double") / F.col("cohort_size"), 4).alias(
+            "retention"
+        ),
+    )
