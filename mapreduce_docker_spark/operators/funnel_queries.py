@@ -433,3 +433,156 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention"
         ),
     )
+
+
+GAPFILL_MAX_USER = 100  # bounded user slice keeps the dense grid driver-checkable
+
+
+@register(
+    "events_daily_gapfill_locf",
+    f"""
+    WITH base AS (
+      SELECT user_id, CAST(ts::TIMESTAMP AS DATE) AS d,
+             {rsql("sum(value)", 2)} AS v
+      FROM events WHERE user_id < {GAPFILL_MAX_USER}
+      GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT min(CAST(ts::TIMESTAMP AS DATE)) AS lo,
+             max(CAST(ts::TIMESTAMP AS DATE)) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT u.user_id, CAST(gs.g AS DATE) AS d
+      FROM (SELECT DISTINCT user_id FROM base) u
+      CROSS JOIN bounds b
+      CROSS JOIN LATERAL unnest(generate_series(b.lo::TIMESTAMP, b.hi::TIMESTAMP,
+                                                INTERVAL 1 DAY)) AS gs(g)
+    )
+    SELECT g.user_id, g.d AS event_date, base.v AS v_raw,
+           last_value(base.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS v_filled,
+           CAST(base.v IS NULL AS BOOLEAN) AS was_gap
+    FROM grid g LEFT JOIN base ON base.user_id = g.user_id AND base.d = g.d
+    """,
+    section="A7,ST5",
+    note=(
+        "time-series gap fill + LOCF (last observation carried forward), "
+        "the hypertable operator Spark lacks natively: a dense (user x day) "
+        "grid from the global date bounds (broadcast 1-row scalar relation "
+        "x bounded user slice), left-joined to the per-(user, day) rollup, "
+        "then ignore-nulls last() over the per-user date order carries the "
+        "previous value across gaps (leading gaps stay NULL, flagged). "
+        "Daily totals round BEFORE the fill so carried values are "
+        "bit-identical on both engines. At scale the grid is |keys| x "
+        "|periods| — generated, never shuffled wide — and the fill is one "
+        "window pass per key"
+    ),
+)
+def events_daily_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = (
+        ev.filter(F.col("user_id") < GAPFILL_MAX_USER)
+        .groupBy("user_id", F.col("ts").cast("date").alias("d"))
+        .agg(dround(F.sum("value"), 2).alias("v"))
+    )
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    grid = (
+        base.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi")).alias("d"),
+        )
+    )
+    joined = grid.join(base, ["user_id", "d"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.col("d").alias("event_date"),
+        F.col("v").alias("v_raw"),
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        F.col("v").isNull().alias("was_gap"),
+    )
+
+
+ANOMALY_Z = 2.0
+
+
+@register(
+    "events_daily_anomaly_zscores",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts::TIMESTAMP AS DATE) AS d,
+             {rsql("sum(value)", 2)} AS daily_total
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, d, daily_total,
+             avg(daily_total) OVER (PARTITION BY event_type) AS mu,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(daily_total * daily_total) OVER (PARTITION BY event_type) AS sq,
+             sum(daily_total) OVER (PARTITION BY event_type) AS s
+      FROM daily
+    ),
+    z AS (
+      SELECT event_type, d, daily_total,
+             {rsql(
+                 "(daily_total - mu) / sqrt((sq - s * s / n) / (n - 1))", 4
+             )} AS zscore
+      FROM stats WHERE n > 1
+    )
+    SELECT event_type, d AS event_date, daily_total, zscore,
+           CAST(abs(zscore) >= {ANOMALY_Z} AS BOOLEAN) AS is_anomaly
+    FROM z
+    """,
+    section="A7",
+    note=(
+        "per-type daily-volume anomaly flags: z-score of each day's total "
+        "against that type's mean/stddev, computed from explicit sum / "
+        "sum-of-squares windows (textbook two-pass variance spelled the "
+        "same on both engines; the rounded daily totals make the inputs "
+        "bit-identical first). The flag thresholds the ROUNDED z-score "
+        "(cut-line discipline). One shuffle to daily, one window partition "
+        "per type; at scale the stats fold into the same pass via a "
+        "grouped aggregate joined back broadcast"
+    ),
+)
+def events_daily_anomaly_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(dround(F.sum("value"), 2).alias("daily_total"))
+    )
+    w = Window.partitionBy("event_type")
+    stats = daily.select(
+        "event_type",
+        "d",
+        "daily_total",
+        F.avg("daily_total").over(w).alias("mu"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(F.col("daily_total") * F.col("daily_total")).over(w).alias("sq"),
+        F.sum("daily_total").over(w).alias("s"),
+    ).filter(F.col("n") > 1)
+    z = dround(
+        (F.col("daily_total") - F.col("mu"))
+        / F.sqrt((F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)),
+        4,
+    )
+    return stats.select(
+        "event_type",
+        F.col("d").alias("event_date"),
+        "daily_total",
+        z.alias("zscore"),
+        (F.abs(z) >= ANOMALY_Z).alias("is_anomaly"),
+    )
