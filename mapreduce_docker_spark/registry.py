@@ -72,6 +72,7 @@ def _load_all() -> None:
         "layout",
         "membership",
         "graph",
+        "psapi",
     ):
         fq = f"mapreduce_docker_spark.operators.{mod}_queries"
         try:
@@ -126,7 +127,8 @@ def _load_all() -> None:
 # merge_upsert_orders_incremental, text_tfidf_pair_cosine,
 # events_compact_latest, events_rolling_7d_active_users,
 # events_retention_cohorts, events_daily_gapfill_locf,
-# events_daily_anomaly_zscores — all full-oracle, never driver-checked;
+# events_daily_anomaly_zscores, psapi_priority_order_stats — all
+# full-oracle, never driver-checked;
 # graph_pagerank_purchases rows-only, numpy-pinned), (b) any query
 # whose engine path changes in r5, and (c) a freshness spread of the oldest
 # cumulative greens (q2/q4/q6/q17/q18/q22, events_tumbling_10m,
