@@ -586,3 +586,41 @@ def events_daily_anomaly_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("zscore"),
         (F.abs(z) >= ANOMALY_Z).alias("is_anomaly"),
     )
+
+
+@register(
+    "events_rolling_7d_hll",
+    None,  # HLL sketch internals are engine-specific; pinned within 5% of
+    # the exact rolling distinct (events_rolling_7d_active_users) in
+    # tests/test_funnel.py
+    section="A4,A7",
+    note=(
+        "the SCALE PATH for rolling distinct users: one HLL sketch per day "
+        "(mergeable binary state), trailing-7-day windows built by UNIONING "
+        "the daily sketches instead of re-touching events — the band join "
+        "moves |days| sketch rows, not |users| x |days| activity rows. "
+        "Rows-only by contract (sketch estimates are engine-internal); "
+        "within-5%-of-exact pinned in pytest against the oracle-checked "
+        "exact twin. This is the concrete form of the mergeability swap the "
+        "exact query's note promises"
+    ),
+)
+def events_rolling_7d_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily_sk = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .groupBy("d")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    days = daily_sk.select(F.col("d").alias("dd"))
+    return (
+        daily_sk.join(
+            F.broadcast(days),
+            (F.col("d") <= F.col("dd")) & (F.col("d") >= F.date_sub(F.col("dd"), 6)),
+        )
+        .groupBy("dd")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("wau_7d_approx")
+        )
+        .select(F.col("dd").alias("event_date"), "wau_7d_approx")
+    )

@@ -1593,3 +1593,111 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket < F.col("thr"))
         .select("doc_id", "source", "thr")
     )
+
+
+@register(
+    "text_source_kl_divergence",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest({_SQL_TOKS}) AS w FROM documents
+    ),
+    c AS (SELECT source, w, CAST(count(*) AS DOUBLE) AS c_sw FROM toks GROUP BY 1, 2),
+    t AS (
+      SELECT source, w, c_sw,
+             sum(c_sw) OVER (PARTITION BY source) AS n_s,
+             sum(c_sw) OVER (PARTITION BY w) AS c_w,
+             sum(c_sw) OVER () AS n
+      FROM c
+    )
+    SELECT source,
+           CAST(max(n_s) AS BIGINT) AS n_tokens,
+           {rsql("sum((c_sw / n_s) * ln((c_sw / n_s) / (c_w / n)))", 6)} AS kl_vs_corpus
+    FROM t
+    GROUP BY source
+    """,
+    section="U4,A7",
+    note=(
+        "domain-drift detection: per-source unigram KL divergence against "
+        "the whole-corpus distribution, KL(P_s||Q) = sum_w P_s(w) "
+        "ln(P_s(w)/Q(w)) — the mixture-monitoring statistic a training-data "
+        "pipeline tracks per ingest slice. Every distribution comes from "
+        "ONE token count relation via three window sums (no second corpus "
+        "scan); P_s(w)=0 terms vanish from the sum by construction, and "
+        "Q(w)>0 wherever P_s(w)>0 (the corpus contains every source), so "
+        "the log is always finite. Sums round once at the end"
+    ),
+)
+def text_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = scatter(_docs(spark, sf_dir)).select(
+        "source", F.explode(tokens("text")).alias("w")
+    )
+    c = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("double").alias("c_sw")
+    )
+    t = c.select(
+        "source",
+        "w",
+        "c_sw",
+        F.sum("c_sw").over(Window.partitionBy("source")).alias("n_s"),
+        F.sum("c_sw").over(Window.partitionBy("w")).alias("c_w"),
+        F.sum("c_sw").over(Window.partitionBy()).alias("n"),
+    )
+    p = F.col("c_sw") / F.col("n_s")
+    q = F.col("c_w") / F.col("n")
+    return t.groupBy("source").agg(
+        F.max("n_s").cast("long").alias("n_tokens"),
+        dround(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"),
+    )
+
+
+@register(
+    "text_char_entropy",
+    f"""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '')) AS c
+      FROM documents WHERE length(text) > 0
+    ),
+    cc AS (
+      SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS n_c
+      FROM ch WHERE c <> '' GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT doc_id, n_c, sum(n_c) OVER (PARTITION BY doc_id) AS n
+      FROM cc
+    )
+    SELECT doc_id,
+           CAST(max(n) AS BIGINT) AS n_chars_counted,
+           {rsql("-sum((n_c / n) * ln(n_c / n)) / ln(2.0)", 4)} AS entropy_bits
+    FROM t
+    GROUP BY doc_id
+    """,
+    section="U4",
+    note=(
+        "character-level Shannon entropy per doc (bits/char): the cheap "
+        "gibberish/repetition signal CCNet-class pipelines gate on — "
+        "natural text sits ~3-4.5 bits, base64 blobs higher, repeated "
+        "boilerplate lower. One explode to (doc, char) counts (map-side "
+        "combinable), one per-doc window total, entropy folded with a "
+        "single end rounding. DuckDB splits on the empty regex with "
+        "leading/trailing empties — filtered identically on both engines"
+    ),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = (
+        scatter(_docs(spark, sf_dir))
+        .filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "")).alias("c"),
+        )
+        .filter(F.col("c") != "")
+    )
+    cc = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).cast("double").alias("n_c"))
+    t = cc.select(
+        "doc_id", "n_c", F.sum("n_c").over(Window.partitionBy("doc_id")).alias("n")
+    )
+    p = F.col("n_c") / F.col("n")
+    return t.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("n_chars_counted"),
+        dround(-F.sum(p * F.log(p)) / F.log(F.lit(2.0)), 4).alias("entropy_bits"),
+    )

@@ -127,8 +127,10 @@ def _load_all() -> None:
 # merge_upsert_orders_incremental, text_tfidf_pair_cosine,
 # events_compact_latest, events_rolling_7d_active_users,
 # events_retention_cohorts, events_daily_gapfill_locf,
-# events_daily_anomaly_zscores, psapi_priority_order_stats — all
-# full-oracle, never driver-checked;
+# events_daily_anomaly_zscores, psapi_priority_order_stats,
+# text_source_kl_divergence, text_char_entropy — all
+# full-oracle, never driver-checked; events_rolling_7d_hll rows-only,
+# tolerance-pinned vs the exact twin;
 # graph_pagerank_purchases rows-only, numpy-pinned), (b) any query
 # whose engine path changes in r5, and (c) a freshness spread of the oldest
 # cumulative greens (q2/q4/q6/q17/q18/q22, events_tumbling_10m,

@@ -125,3 +125,26 @@ def test_sessionize_partitions_all_events(spark):
     for uid, idxs in by_user.items():
         assert sorted(idxs) == list(range(1, len(idxs) + 1)), uid  # contiguous ids
     assert all(r["duration_us"] >= 0 for r in sess)
+
+
+def test_rolling_hll_within_tolerance_of_exact(spark):
+    """The mergeable-sketch rolling path must track the exact rolling
+    distinct within HLL tolerance (lgConfigK default 12 -> ~1.6% rse; 5%
+    is a safe deterministic bound at fixture cardinalities)."""
+    from mapreduce_docker_spark.operators.funnel_queries import (
+        events_rolling_7d_active_users,
+        events_rolling_7d_hll,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r["event_date"]: r["wau_7d"]
+        for r in events_rolling_7d_active_users(spark, sf).collect()
+    }
+    approx = {
+        r["event_date"]: r["wau_7d_approx"]
+        for r in events_rolling_7d_hll(spark, sf).collect()
+    }
+    assert set(exact) == set(approx)
+    for d, n in exact.items():
+        assert abs(approx[d] - n) <= max(1, 0.05 * n), (d, n, approx[d])
