@@ -105,6 +105,34 @@ def test_incremental_merge_agg_is_join_free(spark):
         assert j not in plan, plan
 
 
+def test_partitioned_layout_enables_dynamic_partition_pruning(spark):
+    """Joining the hive-partitioned layout to a SELECTIVE dim on the
+    partition column must inject a DPP subquery: the fact side lists only
+    the partition directories the filtered dim reaches — the join-driven
+    complement of the static pruning pinned above. At 100 TB this is the
+    difference between scanning 3 days and scanning the table."""
+    from mapreduce_docker_spark.operators.layout_queries import (
+        q_layout_partition_pruned_events,
+        _staging_dir,
+    )
+
+    q_layout_partition_pruned_events(spark, SF).collect()  # stage the layout
+    fact = spark.read.parquet(
+        _staging_dir("events_by_date", fixture_digest(SF, "events"))
+    )
+    # a FILTERED dim scan is what DPP's planner keys on (a bare limit/local
+    # relation is not considered a pruning source)
+    dim = (
+        load_table(spark, SF, "orders")
+        .select(F.col("o_orderdate").cast("date").alias("dd"), "o_orderkey")
+        .filter(F.col("o_orderkey") % 500 == 0)
+    )
+    joined = fact.join(dim.hint("broadcast"), fact["event_date"] == dim["dd"])
+    plan = joined.groupBy("event_type").count()._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2 and "dynamicpruning" in pf[1].split("]", 1)[0], plan
+
+
 def test_staged_layouts_key_on_fixture_content(tmp_path, spark):
     """A rewritten fixture (same path, new bytes) must stage a FRESH layout:
     the staging key is the content digest, so the old directory is simply
