@@ -1031,3 +1031,56 @@ def dedup_span_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("clean_text"),
     )
+
+
+def _sql_clusters_nested() -> str:
+    """The cluster-labeling oracle nested verbatim as a derived table."""
+    from mapreduce_docker_spark.registry import _REGISTRY
+
+    return f"(SELECT doc_id, cluster_id FROM ({_REGISTRY['dedup_minhash_clusters'].sql}))"
+
+
+@register(
+    "dedup_cluster_survivorship",
+    f"""
+    WITH cl AS (SELECT doc_id, cluster_id FROM {_sql_clusters_nested()}),
+    m AS (
+      SELECT cl.cluster_id, d.doc_id, d.lang, d.n_chars,
+             row_number() OVER (
+               PARTITION BY cl.cluster_id
+               ORDER BY d.n_chars DESC, d.doc_id DESC
+             ) AS rn
+      FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+    )
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS rep_doc_id,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
+    FROM m
+    GROUP BY cluster_id
+    """,
+    section="U1,U2,A7",
+    note=(
+        "entity-resolution survivorship over the near-dup clusters (oracle "
+        "nests the connected-components labeling verbatim): one canonical "
+        "row per cluster — representative elected as the LONGEST member "
+        "(doc_id-desc tiebreak, deterministic via max-of-struct, the same "
+        "combiner-friendly election as the span-tile winner), member "
+        "count, total chars, and the sorted distinct language set. The "
+        "election is a plain aggregate (map-side partial), NOT a window "
+        "over the full membership — hot clusters collapse before the "
+        "shuffle exactly like hot tiles"
+    ),
+)
+def dedup_cluster_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = dedup_minhash_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    m = clusters.join(docs, "doc_id")
+    rep = F.max(F.struct(F.col("n_chars"), F.col("doc_id"))).getField("doc_id")
+    return m.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        rep.cast("long").alias("rep_doc_id"),
+        F.sum("n_chars").alias("total_chars"),
+        F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs"),
+    )
