@@ -133,6 +133,83 @@ def test_partitioned_layout_enables_dynamic_partition_pruning(spark):
     assert len(pf) == 2 and "dynamicpruning" in pf[1].split("]", 1)[0], plan
 
 
+def test_zorder_prunes_on_both_dimensions(tmp_path, spark):
+    """The Morton layout's selling point: per-file min/max rectangles
+    shrink in BOTH axes, so single-dimension probes prune on either
+    column. A linear sort on user_id prunes perfectly on user_id and not
+    at all on day (every file's day range is the full span) — the z-order
+    twin must beat it on day probes while a user probe still skips files.
+    """
+    import pyarrow.parquet as pq
+
+    from mapreduce_docker_spark.operators.layout_queries import zorder_value
+    from pyspark.sql import functions as F2
+
+    ev = load_table(spark, SF, "events").select(
+        "user_id",
+        (F2.unix_micros(F2.col("ts")) / F2.lit(86_400_000_000))
+        .cast("long")
+        .alias("day"),
+    )
+    zdir = os.path.join(str(tmp_path), "z")
+    udir = os.path.join(str(tmp_path), "u")
+    (
+        ev.withColumn("z", zorder_value(F2.col("user_id"), F2.col("day")))
+        .repartitionByRange(16, "z")
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite")
+        .parquet(zdir)
+    )
+    (
+        ev.repartitionByRange(16, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(udir)
+    )
+
+    def ranges(d):
+        out = []
+        for f in os.listdir(d):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            st_u = md.row_group(0).column(cols["user_id"]).statistics
+            st_d = md.row_group(0).column(cols["day"]).statistics
+            lo_u = min(md.row_group(g).column(cols["user_id"]).statistics.min for g in range(md.num_row_groups))
+            hi_u = max(md.row_group(g).column(cols["user_id"]).statistics.max for g in range(md.num_row_groups))
+            lo_d = min(md.row_group(g).column(cols["day"]).statistics.min for g in range(md.num_row_groups))
+            hi_d = max(md.row_group(g).column(cols["day"]).statistics.max for g in range(md.num_row_groups))
+            out.append(((lo_u, hi_u), (lo_d, hi_d)))
+        return out
+
+    zr, ur = ranges(zdir), ranges(udir)
+    # range partitioner may emit fewer non-empty files than requested;
+    # compare candidate FRACTIONS so the two layouts stay comparable
+    assert len(zr) >= 8 and len(ur) >= 8
+
+    days = sorted({r["day"] for r in ev.select("day").distinct().collect()})
+    users = sorted({r["user_id"] for r in ev.select("user_id").distinct().collect()})
+
+    def frac(rs, dim, vals):
+        hits = sum(
+            1
+            for v in vals
+            for (u_rng, d_rng) in rs
+            if (u_rng if dim == 0 else d_rng)[0] <= v <= (u_rng if dim == 0 else d_rng)[1]
+        )
+        return hits / (len(vals) * len(rs))
+
+    # day probes: z-order must prune where the user-sorted layout cannot
+    # user-sort: essentially every file matches every day (>= 0.95 tolerates
+    # a sparse tail file missing a day or two at fixture scale)
+    assert frac(ur, 1, days) >= 0.95
+    assert frac(zr, 1, days) < 0.8, frac(zr, 1, days)
+    # user probes: z-order still skips a meaningful share of files
+    assert frac(zr, 0, users) < 0.8, frac(zr, 0, users)
+
+
 def test_staged_layouts_key_on_fixture_content(tmp_path, spark):
     """A rewritten fixture (same path, new bytes) must stage a FRESH layout:
     the staging key is the content digest, so the old directory is simply
