@@ -1809,3 +1809,42 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.filter(band).agg(dround(F.sum(_revenue()), 2).alias("revenue"))
+
+
+@register(
+    "sql_lateral_top2_orders",
+    """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c
+    JOIN LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 2
+    ) t ON TRUE
+    """,
+    section="J1,A7",
+    note=(
+        "correlated LATERAL subquery via the raw SQL interface: top-2 "
+        "orders per customer expressed as a per-row dependent subquery, "
+        "which Catalyst decorrelates into the same window/rank plan the "
+        "DataFrame API would build — no per-customer re-execution (the "
+        "naive reading of LATERAL is a nested loop; the decorrelation is "
+        "what makes it scale). Raw column values pass through, so no "
+        "rounding is needed; the LIMIT tiebreak is fully keyed"
+    ),
+)
+def sql_lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_docker_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, tables=("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c
+        JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 2
+        ) t
+        """
+    )

@@ -129,8 +129,8 @@ def _load_all() -> None:
 # events_retention_cohorts, events_daily_gapfill_locf,
 # events_daily_anomaly_zscores, psapi_priority_order_stats,
 # text_source_kl_divergence, text_char_entropy,
-# dedup_cluster_survivorship, layout_zorder_events — all
-# full-oracle, never driver-checked; events_rolling_7d_hll rows-only,
+# dedup_cluster_survivorship, layout_zorder_events,
+# sql_lateral_top2_orders — all full-oracle, never driver-checked; events_rolling_7d_hll rows-only,
 # tolerance-pinned vs the exact twin;
 # graph_pagerank_purchases rows-only, numpy-pinned), (b) any query
 # whose engine path changes in r5, and (c) a freshness spread of the oldest

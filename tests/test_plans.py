@@ -315,3 +315,20 @@ def test_sessionize_single_exchange(spark, specs):
     assert plan.count("Exchange") == 1, plan
     assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_lateral_subquery_decorrelates(spark):
+    """The correlated LATERAL top-2 must decorrelate to WindowGroupLimit +
+    a hash join — never a per-customer nested loop."""
+    from mapreduce_docker_spark.operators.relational_queries import (
+        sql_lateral_top2_orders,
+    )
+
+    plan = (
+        sql_lateral_top2_orders(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
