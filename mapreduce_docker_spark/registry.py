@@ -130,7 +130,8 @@ def _load_all() -> None:
 # events_daily_anomaly_zscores, psapi_priority_order_stats,
 # text_source_kl_divergence, text_char_entropy,
 # dedup_cluster_survivorship, layout_zorder_events,
-# sql_lateral_top2_orders — all full-oracle, never driver-checked; events_rolling_7d_hll rows-only,
+# sql_lateral_top2_orders, streaming_static_enrichment — all
+# full-oracle, never driver-checked; events_rolling_7d_hll rows-only,
 # tolerance-pinned vs the exact twin;
 # graph_pagerank_purchases rows-only, numpy-pinned), (b) any query
 # whose engine path changes in r5, and (c) a freshness spread of the oldest
@@ -234,6 +235,7 @@ _OPTIONAL_MODULE_QUERIES: dict[str, frozenset[str]] = {
             "streaming_incremental_minhash_dedup",
             "streaming_stateful_user_counts",
             "streaming_sessionize",
+            "streaming_static_enrichment",
             "streaming_transform_with_state",
             "streaming_foreachbatch_sink",
             "streaming_wordcount",

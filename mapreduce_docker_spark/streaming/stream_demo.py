@@ -650,3 +650,45 @@ def run_sessionize_stream(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_stream_static_enrichment(
+    spark: SparkSession, sf_dir: str, query_name: str = "static_enrich"
+) -> DataFrame:
+    """Stream-static join: streaming events enriched with a BATCH dimension.
+
+    The static side (per-user first-activity cohort week, computed once
+    from the batch table) joins into every micro-batch without any
+    streaming state — Spark re-plans the static side per batch, so at
+    cluster scale the dim is broadcast (or storage-partition-joined) fresh
+    each trigger, which is exactly how slowly-changing enrichment dims are
+    consumed in production. Because the join adds no state and the final
+    complete-mode aggregate folds ALL events, the terminal state equals
+    the batch answer — making this streaming query fully oracle-checkable
+    (same class as the incremental-minhash store).
+    """
+    from mapreduce_docker_spark.sources.catalog import load_table
+
+    cohort = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.date_trunc("week", F.col("ts").cast("date")).cast("date")
+            ).alias("cohort_week")
+        )
+    )
+    ev = read_events_stream(spark, sf_dir)
+    enriched = ev.join(cohort, "user_id")
+    agg = enriched.groupBy("cohort_week", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -398,3 +398,37 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_docker_spark.streaming.stream_demo import run_session_window_stream
 
     return run_session_window_stream(spark, sf_dir, query_name=f"ssw_{uuid.uuid4().hex[:8]}")
+
+
+@register(
+    "streaming_static_enrichment",
+    """
+    WITH uw AS (
+      SELECT user_id,
+             min(date_trunc('week', CAST(ts::TIMESTAMP AS DATE))) AS cohort_wk
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(c.cohort_wk AS DATE) AS cohort_week, e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events e JOIN uw c ON c.user_id = e.user_id
+    GROUP BY 1, 2
+    """,
+    section="ST6,J1",
+    note=(
+        "stream-static enrichment join, FULLY oracle-checked: streaming "
+        "events join a batch-computed per-user cohort dimension (re-planned "
+        "per micro-batch, no join state — the production pattern for "
+        "slowly-changing enrichment dims), and the complete-mode terminal "
+        "aggregate over the bounded stream must hash-match the batch SQL"
+    ),
+)
+def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from mapreduce_docker_spark.streaming.stream_demo import (
+        run_stream_static_enrichment,
+    )
+
+    return run_stream_static_enrichment(
+        spark, sf_dir, query_name=f"enrich_{uuid.uuid4().hex[:8]}"
+    )
