@@ -1084,3 +1084,56 @@ def dedup_cluster_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs"),
     )
+
+
+@register(
+    "dedup_pair_similarity_report",
+    _SQL_SIG_CTE
+    + f""",
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             {rsql(_sql_jaccard('da.hs', 'db.hs'), 4)} AS jaccard,
+             {rsql("CAST(len(list_intersect(da.hs, db.hs)) AS DOUBLE) / len(da.hs)", 4)} AS containment_a,
+             {rsql("CAST(len(list_intersect(da.hs, db.hs)) AS DOUBLE) / len(db.hs)", 4)} AS containment_b
+      FROM cand c
+      JOIN hs da ON da.doc_id = c.doc_a
+      JOIN hs db ON db.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard, containment_a, containment_b FROM scored
+    """,
+    section="U2,J5",
+    note=(
+        "similarity report over the LSH candidate pairs: Jaccard plus BOTH "
+        "directed containments |A∩B|/|A| and |A∩B|/|B| — asymmetric "
+        "duplication (a doc quoting most of a smaller doc) shows high "
+        "containment at low Jaccard, which the symmetric threshold alone "
+        "would discard. Candidates come from the same banded-LSH "
+        "generation as dedup_minhash_pairs (MinHash banding targets "
+        "JACCARD recall; exhaustive containment search would need a "
+        "prefix-filtered index — documented boundary, not claimed here); "
+        "all metrics computed on the int hash sets from the single-scan "
+        "signature pipeline"
+    ),
+)
+def dedup_pair_similarity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _sig_with_hashset_df(
+        scatter(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    )
+    bands = sig.select(
+        F.struct("doc_id", "hs").alias("m"),
+        F.posexplode(
+            F.array(*th.band_signature_exprs([F.col(c) for c in _SIG_COLS]))
+        ).alias("band_idx", "band_sig"),
+    )
+    inter = F.size(F.array_intersect(F.col("a.hs"), F.col("b.hs"))).cast("double")
+    return (
+        _all_bucket_pairs(bands, "doc_id")
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dround(_jaccard(F.col("a.hs"), F.col("b.hs")), 4).alias("jaccard"),
+            dround(inter / F.size(F.col("a.hs")), 4).alias("containment_a"),
+            dround(inter / F.size(F.col("b.hs")), 4).alias("containment_b"),
+        )
+        .distinct()
+    )

@@ -237,3 +237,70 @@ def udf_cogroup_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="user_id bigint, n_purchase_events bigint, n_orders bigint",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# polymorphic UDTF: analyze() computes the OUTPUT SCHEMA from the call's
+# arguments — Spark 3.5+'s dynamic-schema table function API
+# ---------------------------------------------------------------------------
+
+
+def _ngram_udtf():
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult
+    from pyspark.sql.types import IntegerType, StringType, StructType
+
+    @udtf
+    class NgramUDTF:
+        """Emit n-grams with one POSITION COLUMN PER GRAM SLOT: the column
+        set (pos, w0..w{n-1}) depends on the literal ``n`` argument, so the
+        schema cannot be declared statically — ``analyze`` computes it at
+        plan time from the call site (the polymorphic-UDTF contract)."""
+
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if not isinstance(n.value, int) or n.value < 1:
+                raise ValueError("n must be a positive int literal")
+            schema = StructType().add("pos", IntegerType())
+            for i in range(n.value):
+                schema = schema.add(f"w{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):  # noqa: D102 - UDTF contract
+            import re
+
+            toks = re.findall(r"[a-z]+", (text or "").lower())
+            for i in range(len(toks) - n + 1):
+                yield (i, *toks[i : i + n])
+
+    return NgramUDTF
+
+
+@register(
+    "udf_udtf_analyze_trigrams",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents WHERE doc_id < 50
+    ),
+    g AS (
+      SELECT doc_id, unnest(generate_series(1, len(toks) - 2)) AS i, toks
+      FROM d WHERE len(toks) >= 3
+    )
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+           toks[i] AS w0, toks[i + 1] AS w1, toks[i + 2] AS w2
+    FROM g
+    """,
+    section="U6",
+    note=(
+        "POLYMORPHIC Python UDTF: analyze() derives the output schema "
+        "(pos, w0..w{n-1}) from the literal n at plan time — the "
+        "dynamic-schema table-function API on top of the static @udtf "
+        "demo; called with n=3, lateral-joined, and hash-matched against "
+        "the SQL trigram expansion. Bounded to doc_id<50: per-row Python "
+        "fan-out is the API demo, not the scale path"
+    ),
+)
+def udf_udtf_analyze_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.lateralJoin(
+        _ngram_udtf()(F.col("text").outer(), F.lit(3)).alias("g")
+    ).select("doc_id", "pos", "w0", "w1", "w2")

@@ -130,7 +130,8 @@ def _load_all() -> None:
 # events_daily_anomaly_zscores, psapi_priority_order_stats,
 # text_source_kl_divergence, text_char_entropy,
 # dedup_cluster_survivorship, layout_zorder_events,
-# sql_lateral_top2_orders, streaming_static_enrichment — all
+# sql_lateral_top2_orders, streaming_static_enrichment,
+# dedup_pair_similarity_report, udf_udtf_analyze_trigrams — all
 # full-oracle, never driver-checked; events_rolling_7d_hll rows-only,
 # tolerance-pinned vs the exact twin;
 # graph_pagerank_purchases rows-only, numpy-pinned), (b) any query
@@ -212,6 +213,7 @@ _OPTIONAL_MODULE_QUERIES: dict[str, frozenset[str]] = {
             "udf_pandas_saturation",
             "udf_applyinpandas_zscore",
             "udf_udtf_bigrams",
+            "udf_udtf_analyze_trigrams",
             "udf_cogroup_user_conversion",
             "udf_pandas_udaf_geomean",
         }
