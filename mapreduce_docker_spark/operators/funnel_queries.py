@@ -624,3 +624,85 @@ def events_rolling_7d_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("dd").alias("event_date"), "wau_7d_approx")
     )
+
+
+FUNNEL_WINDOW_US = 3 * 3_600_000_000  # conversion must land within 3 hours
+
+
+@register(
+    "events_funnel_within_window",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS us FROM events
+    ),
+    w1 AS (
+      SELECT user_id, event_type, us,
+             min(CASE WHEN event_type = 'view' THEN us END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM e
+    ),
+    w2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND us > t1
+                          AND us <= t1 + {FUNNEL_WINDOW_US} THEN us END)
+                  OVER (PARTITION BY user_id) AS t2
+      FROM w1
+    ),
+    w3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND us > t2
+                          AND us <= t1 + {FUNNEL_WINDOW_US} THEN us END)
+                  OVER (PARTITION BY user_id) AS t3
+      FROM w2
+    ),
+    u AS (
+      SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+      FROM w3 GROUP BY user_id
+    )
+    SELECT CAST(count(t1) AS BIGINT) AS viewed,
+           CAST(count(t2) AS BIGINT) AS clicked_within,
+           CAST(count(t3) AS BIGINT) AS purchased_within
+    FROM u
+    """,
+    section="A7",
+    note=(
+        "time-bounded conversion funnel: view -> click -> purchase where "
+        "every later stage must land within 3 hours of the FIRST view — "
+        "the attribution-window semantics real funnels use (the unbounded "
+        "twin events_funnel_conversion counts eventual conversion). Same "
+        "single-exchange shape: three chained unordered-frame windows over "
+        "one user_id partitioning, exact integer-µs comparisons, then one "
+        "fold to the three stage counts"
+    ),
+)
+def events_funnel_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    wu = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(wu)
+    w1 = ev.select("user_id", "event_type", "us", t1.alias("t1"))
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("us") > F.col("t1"))
+            & (F.col("us") <= F.col("t1") + FUNNEL_WINDOW_US),
+            F.col("us"),
+        )
+    ).over(wu)
+    w2 = w1.select("*", t2.alias("t2"))
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("us") > F.col("t2"))
+            & (F.col("us") <= F.col("t1") + FUNNEL_WINDOW_US),
+            F.col("us"),
+        )
+    ).over(wu)
+    w3 = w2.select("*", t3.alias("t3"))
+    u = w3.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
+    )
+    return u.agg(
+        F.count("t1").alias("viewed"),
+        F.count("t2").alias("clicked_within"),
+        F.count("t3").alias("purchased_within"),
+    )

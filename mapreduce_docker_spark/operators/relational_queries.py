@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mapreduce_docker_spark.functions.rounding import dround
+from mapreduce_docker_spark.functions.rounding import sql as rsql
 from mapreduce_docker_spark.registry import register
 from mapreduce_docker_spark.sources.catalog import load_table
 
@@ -1847,4 +1848,78 @@ def sql_lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
           ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 2
         ) t
         """
+    )
+
+
+BASKET_MIN_PAIR = 2
+
+
+@register(
+    "basket_part_pairs_lift",
+    f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM op),
+    supp AS (SELECT l_partkey, count(*) AS s FROM op GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, CAST(count(*) AS BIGINT) AS n_both
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {BASKET_MIN_PAIR}
+    )
+    SELECT p.part_a, p.part_b, p.n_both,
+           CAST(sa.s AS BIGINT) AS n_a, CAST(sb.s AS BIGINT) AS n_b,
+           {rsql("p.n_both * (SELECT n_orders FROM n) / (sa.s * sb.s)", 4)} AS lift
+    FROM pairs p
+    JOIN supp sa ON sa.l_partkey = p.part_a
+    JOIN supp sb ON sb.l_partkey = p.part_b
+    """,
+    section="A7,J1",
+    note=(
+        "market-basket association: part pairs co-ordered in >= "
+        f"{BASKET_MIN_PAIR} orders with their lift n_both*N/(n_a*n_b) — "
+        "the classic affinity statistic. The pair self-join fans out per "
+        "ORDER, bounded by basket size (TPC-H baskets are <= 7 lines, so "
+        "<= 21 pairs per order — the a<b orientation halves it); supports "
+        "are a groupBy; the scalar order count broadcasts. The A-priori "
+        "escalation (triples conditioned on frequent pairs) reuses this "
+        "relation as its candidate filter"
+    ),
+)
+def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = op.agg(F.countDistinct("l_orderkey").cast("double").alias("n_orders"))
+    supp = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= BASKET_MIN_PAIR)
+    )
+    sa = supp.select(F.col("l_partkey").alias("part_a"), F.col("s").alias("n_a"))
+    sb = supp.select(F.col("l_partkey").alias("part_b"), F.col("s").alias("n_b"))
+    return (
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            dround(
+                F.col("n_both") * F.col("n_orders") / (F.col("n_a") * F.col("n_b")), 4
+            ).alias("lift"),
+        )
     )

@@ -131,7 +131,8 @@ def _load_all() -> None:
 # text_source_kl_divergence, text_char_entropy,
 # dedup_cluster_survivorship, layout_zorder_events,
 # sql_lateral_top2_orders, streaming_static_enrichment,
-# dedup_pair_similarity_report, udf_udtf_analyze_trigrams — all
+# dedup_pair_similarity_report, udf_udtf_analyze_trigrams,
+# basket_part_pairs_lift, events_funnel_within_window — all
 # full-oracle, never driver-checked; events_rolling_7d_hll rows-only,
 # tolerance-pinned vs the exact twin;
 # graph_pagerank_purchases rows-only, numpy-pinned), (b) any query
