@@ -15,7 +15,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from mapreduce_docker_spark.functions.rounding import dround
 from mapreduce_docker_spark.functions.rounding import sql as rsql
 from mapreduce_docker_spark.registry import register
 from mapreduce_docker_spark.sources.catalog import load_table
@@ -309,4 +311,73 @@ def agg_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.any_value("mn") + (F.col("bucket_idx") + 1) * width, 4).alias("hi"),
             F.count(F.lit(1)).alias("n_orders"),
         )
+    )
+
+
+SKEW_TOP_K = 5
+
+
+@register(
+    "dq_key_skew_report",
+    f"""
+    WITH u AS (
+      SELECT 'orders.o_custkey' AS key_col, o_custkey AS key, count(*) AS n
+      FROM orders GROUP BY o_custkey
+      UNION ALL
+      SELECT 'lineitem.l_partkey', l_partkey, count(*) FROM lineitem GROUP BY l_partkey
+      UNION ALL
+      SELECT 'events.user_id', user_id, count(*) FROM events GROUP BY user_id
+    ),
+    t AS (
+      SELECT key_col, key, CAST(n AS BIGINT) AS n,
+             sum(n) OVER (PARTITION BY key_col) AS total,
+             row_number() OVER (
+               PARTITION BY key_col ORDER BY n DESC, key ASC
+             ) AS rnk
+      FROM u
+    )
+    SELECT key_col, CAST(rnk AS INTEGER) AS rnk, key, n,
+           {rsql("CAST(n AS DOUBLE) / total", 6)} AS share
+    FROM t WHERE rnk <= {SKEW_TOP_K}
+    """,
+    section="A7,ST4",
+    note=(
+        "join-key skew diagnostic: the top-5 heaviest keys and their row "
+        "share for each hot join column — the measurement that decides "
+        "whether a key needs salting (operators/skew.py) or AQE skew-join "
+        "handles it. Per-column grouped counts are map-side combinable; "
+        "the top-k per column is a WindowGroupLimit (rank pushdown), never "
+        "a full sort; deterministic key-asc tiebreak"
+    ),
+)
+def dq_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = []
+    for label, table, col in (
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("lineitem.l_partkey", "lineitem", "l_partkey"),
+        ("events.user_id", "events", "user_id"),
+    ):
+        parts.append(
+            load_table(spark, sf_dir, table)
+            .groupBy(F.col(col).alias("key"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(label).alias("key_col"), "key", "n")
+        )
+    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    w = Window.partitionBy("key_col")
+    t = u.select(
+        "key_col",
+        "key",
+        "n",
+        F.sum("n").over(w).alias("total"),
+        F.row_number()
+        .over(Window.partitionBy("key_col").orderBy(F.desc("n"), F.asc("key")))
+        .alias("rnk"),
+    )
+    return t.filter(F.col("rnk") <= SKEW_TOP_K).select(
+        "key_col",
+        F.col("rnk").cast("int").alias("rnk"),
+        "key",
+        "n",
+        dround(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
     )
