@@ -706,3 +706,91 @@ def events_funnel_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t2").alias("clicked_within"),
         F.count("t3").alias("purchased_within"),
     )
+
+
+@register(
+    "events_first_touch_attribution",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS us
+      FROM events
+    ),
+    l AS (
+      SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+      FROM e
+    ),
+    f AS (
+      SELECT *, CASE WHEN prev IS NULL OR us - prev > {SESSION_GAP_US}
+                     THEN 1 ELSE 0 END AS new_s
+      FROM l
+    ),
+    s AS (
+      SELECT *, sum(new_s) OVER (
+        PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS sid
+      FROM f
+    ),
+    fv AS (
+      SELECT user_id, sid, event_type,
+             first_value(event_type) OVER (
+               PARTITION BY user_id, sid ORDER BY us, event_id
+             ) AS first_touch
+      FROM s
+    ),
+    sess AS (
+      SELECT user_id, sid, max(first_touch) AS first_touch,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM fv GROUP BY user_id, sid
+    )
+    SELECT first_touch,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           {rsql("CAST(sum(converted) AS DOUBLE) / count(*)", 6)} AS conversion_rate
+    FROM sess
+    GROUP BY first_touch
+    """,
+    section="A7,ST5",
+    note=(
+        "first-touch attribution composed on gap sessionization: sessions "
+        "open with the event type that started them, and per first-touch "
+        "type the query reports session count, converted-session count "
+        "(any purchase inside the session), and the conversion rate — the "
+        "marketing-attribution staple. The whole pipeline rides ONE "
+        "user_id exchange (lag, cumulative session ids, per-session "
+        "first_value are all windows over the same partitioning; the "
+        "(user, sid) partitions are subsets of user partitions, so no "
+        "re-shuffle), then folds to |event_type| rows"
+    ),
+)
+def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    wo = Window.partitionBy("user_id").orderBy(F.asc("us"), F.asc("event_id"))
+    prev = F.lag("us").over(wo)
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(prev.isNull() | ((F.col("us") - prev) > SESSION_GAP_US), 1).otherwise(0),
+    )
+    sid = F.sum("new_s").over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = flagged.withColumn("sid", sid)
+    ft = F.first("event_type").over(
+        Window.partitionBy("user_id", "sid").orderBy(F.asc("us"), F.asc("event_id"))
+    )
+    fv = s.withColumn("first_touch", ft)
+    sess = fv.groupBy("user_id", "sid").agg(
+        F.max("first_touch").alias("first_touch"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    return sess.groupBy("first_touch").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        dround(
+            F.sum("converted").cast("double") / F.count(F.lit(1)), 6
+        ).alias("conversion_rate"),
+    )

@@ -1701,3 +1701,87 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("n_chars_counted"),
         dround(-F.sum(p * F.log(p)) / F.log(F.lit(2.0)), 4).alias("entropy_bits"),
     )
+
+
+BIGRAM_LM_ALPHA = 0.5
+
+
+@register(
+    "text_bigram_surprisal",
+    f"""
+    WITH d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS b
+      FROM d WHERE len(toks) >= 2
+    ),
+    c12 AS (SELECT b, CAST(count(*) AS DOUBLE) AS c12 FROM bg GROUP BY b),
+    lm AS (
+      SELECT b, c12,
+             sum(c12) OVER (PARTITION BY split_part(b, ' ', 1)) AS c1
+      FROM c12
+    ),
+    v AS (
+      SELECT CAST(count(DISTINCT split_part(b, ' ', 2)) AS DOUBLE) AS v FROM c12
+    )
+    SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           {rsql(
+               "sum(-ln((lm.c12 + " + str(BIGRAM_LM_ALPHA) + ") / "
+               "(lm.c1 + " + str(BIGRAM_LM_ALPHA) + " * (SELECT v FROM v)))) / count(*)",
+               6,
+           )} AS surprisal
+    FROM bg JOIN lm ON lm.b = bg.b
+    GROUP BY bg.doc_id
+    """,
+    section="U4",
+    note=(
+        "conditional (bigram) LM surprisal: per-doc mean -ln P(w2|w1) under "
+        "an add-alpha-smoothed corpus bigram model — the sequencing-aware "
+        "quality signal the unigram LM (text_unigram_surprisal) cannot see "
+        "(scrambled word salad scores NORMAL under a unigram model, high "
+        "here). The LM derives entirely from ONE bigram-count relation: "
+        "prefix totals are a window sum over it (no second corpus scan), "
+        "the vocab size is a broadcast scalar, and docs join the LM on the "
+        "bigram key — vocabulary²-sized at web scale, so it SHUFFLE-joins, "
+        "never broadcasts (the langid/surprisal discipline)"
+    ),
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = scatter(_docs(spark, sf_dir)).select("doc_id", tokens("text").alias("toks"))
+    bg = d.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                ),
+            )
+        ).alias("b"),
+    )
+    c12 = bg.groupBy("b").agg(F.count(F.lit(1)).cast("double").alias("c12"))
+    lm = c12.select(
+        "b",
+        "c12",
+        F.sum("c12")
+        .over(Window.partitionBy(F.split_part(F.col("b"), F.lit(" "), F.lit(1))))
+        .alias("c1"),
+    )
+    v = c12.agg(
+        F.countDistinct(F.split_part(F.col("b"), F.lit(" "), F.lit(2)))
+        .cast("double")
+        .alias("v")
+    )
+    a = F.lit(BIGRAM_LM_ALPHA)
+    nll = -F.log((F.col("c12") + a) / (F.col("c1") + a * F.col("v")))
+    return (
+        bg.join(lm, "b")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            dround(F.sum(nll) / F.count(F.lit(1)), 6).alias("surprisal"),
+        )
+    )
