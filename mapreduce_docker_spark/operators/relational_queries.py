@@ -1923,3 +1923,118 @@ def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "agg_winsorized_value_stats",
+    f"""
+    WITH p AS (
+      SELECT event_type,
+             {rsql("quantile_cont(value, 0.05)", 6)} AS p05,
+             {rsql("quantile_cont(value, 0.95)", 6)} AS p95
+      FROM events GROUP BY event_type
+    ),
+    w AS (
+      SELECT e.event_type,
+             CASE WHEN e.value < p.p05 THEN p.p05
+                  WHEN e.value > p.p95 THEN p.p95
+                  ELSE e.value END AS v,
+             CASE WHEN e.value < p.p05 OR e.value > p.p95 THEN 1 ELSE 0 END AS clamped
+      FROM events e JOIN p ON p.event_type = e.event_type
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(clamped) AS BIGINT) AS n_clamped,
+           {rsql("avg(v)", 4)} AS winsorized_mean,
+           {rsql("min(v)", 4)} AS winsorized_min,
+           {rsql("max(v)", 4)} AS winsorized_max
+    FROM w
+    GROUP BY event_type
+    """,
+    section="A7",
+    note=(
+        "winsorized (clamped-at-P5/P95) robust statistics per event type — "
+        "the outlier-resistant mean a metrics pipeline reports alongside "
+        "the raw one. The exact per-type percentiles are ROUNDED before "
+        "the clamp compare (cut-line discipline: both engines clamp the "
+        "same rows) and the tiny per-type percentile relation broadcasts "
+        "back onto the scan; at 100 TB the exact quantile swaps for "
+        "approx_percentile with the same shape"
+    ),
+)
+def agg_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    p = ev.groupBy("event_type").agg(
+        dround(F.percentile("value", 0.05), 6).alias("p05"),
+        dround(F.percentile("value", 0.95), 6).alias("p95"),
+    )
+    w = ev.join(F.broadcast(p), "event_type").select(
+        "event_type",
+        F.when(F.col("value") < F.col("p05"), F.col("p05"))
+        .when(F.col("value") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+        F.when(
+            (F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95")), 1
+        )
+        .otherwise(0)
+        .alias("clamped"),
+    )
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("clamped").cast("long").alias("n_clamped"),
+        dround(F.avg("v"), 4).alias("winsorized_mean"),
+        dround(F.min("v"), 4).alias("winsorized_min"),
+        dround(F.max("v"), 4).alias("winsorized_max"),
+    )
+
+
+@register(
+    "orders_mom_revenue_growth",
+    f"""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate::TIMESTAMP) AS month,
+             {rsql("sum(o_totalprice)", 2)} AS revenue,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(month AS DATE) AS month, revenue, n_orders,
+             lag(revenue) OVER (ORDER BY month) AS prev
+      FROM m
+    )
+    SELECT month, n_orders, revenue,
+           CASE WHEN prev IS NULL THEN NULL
+                ELSE {rsql("(revenue - prev) / prev", 6)} END AS mom_growth
+    FROM g
+    """,
+    section="A7,W:analytic",
+    note=(
+        "month-over-month revenue growth: monthly rollup (map-side "
+        "combinable) then a lag window over the |months| relation — the "
+        "window runs on an aggregate-sized input, never the fact table, so "
+        "the single-partition ORDER BY month is |months| rows by "
+        "construction (the one case an unpartitioned window is scale-safe)"
+    ),
+)
+def orders_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"))
+        .agg(
+            dround(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    prev = F.lag("revenue").over(Window.orderBy("month"))
+    g = m.select("month", "n_orders", "revenue", prev.alias("prev"))
+    return g.select(
+        "month",
+        "n_orders",
+        "revenue",
+        F.when(
+            F.col("prev").isNull(), F.lit(None).cast("double")
+        )
+        .otherwise(dround((F.col("revenue") - F.col("prev")) / F.col("prev"), 6))
+        .alias("mom_growth"),
+    )

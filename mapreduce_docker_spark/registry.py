@@ -134,7 +134,8 @@ def _load_all() -> None:
 # dedup_pair_similarity_report, udf_udtf_analyze_trigrams,
 # basket_part_pairs_lift, events_funnel_within_window,
 # dq_key_skew_report, text_bigram_surprisal,
-# events_first_touch_attribution — all full-oracle, never driver-checked; events_rolling_7d_hll rows-only,
+# events_first_touch_attribution, agg_winsorized_value_stats,
+# orders_mom_revenue_growth — all full-oracle, never driver-checked; events_rolling_7d_hll rows-only,
 # tolerance-pinned vs the exact twin;
 # graph_pagerank_purchases rows-only, numpy-pinned), (b) any query
 # whose engine path changes in r5, and (c) a freshness spread of the oldest
