@@ -2038,3 +2038,77 @@ def orders_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(dround((F.col("revenue") - F.col("prev")) / F.col("prev"), 6))
         .alias("mom_growth"),
     )
+
+
+@register(
+    "sketch_theta_type_overlap",
+    None,  # DataSketches theta binaries: engine-internal, no DuckDB analog;
+    # set-operation estimates pinned within tolerance of exact in
+    # tests/test_sketches.py
+    section="A4,A7",
+    note=(
+        "theta sketches — the mergeable family that supports set "
+        "INTERSECTION and DIFFERENCE, which HLL cannot: per event-type "
+        "user sketches, then for each ordered type pair the estimated "
+        "|A∩B|, |A∪B|, |A\\B| from sketch algebra alone. At scale the "
+        "per-segment theta sketches materialize once and every "
+        "audience-overlap question (retargeting, cohort intersection) "
+        "answers from KB-scale sketch ops instead of re-scanning events; "
+        "rows-only (sketch internals), tolerance-pinned vs exact"
+    ),
+)
+def sketch_theta_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    per_type = events.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    )
+    a = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a")
+    )
+    b = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b")
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))  # bounded |types|^2/2 grid
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("sk_a"), F.col("sk_b"))
+        ).cast("long").alias("est_intersection"),
+        F.theta_sketch_estimate(F.theta_union(F.col("sk_a"), F.col("sk_b")))
+        .cast("long")
+        .alias("est_union"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("sk_a"), F.col("sk_b"))
+        ).cast("long").alias("est_a_minus_b"),
+    )
+
+
+@register(
+    "sketch_kll_value_quantiles",
+    None,  # DataSketches KLL binaries: engine-internal; quantile estimates
+    # and the merge law pinned in tests/test_sketches.py
+    section="A4,A7",
+    note=(
+        "KLL quantile sketches: per event-type streaming quantile state for "
+        "`value` (p50/p90/p99 estimates from the sketch), mergeable by "
+        "construction — kll_sketch_merge of per-day sketches equals the "
+        "whole-table sketch (the law tests pin), which is what makes "
+        "percentile dashboards incremental at 100 TB instead of "
+        "re-sorting history; rows-only, tolerance-pinned vs exact "
+        "percentiles"
+    ),
+)
+def sketch_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    sk = events.groupBy("event_type").agg(
+        F.kll_sketch_agg_double("value").alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return sk.select(
+        "event_type",
+        "n",
+        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.5)).alias("p50_est"),
+        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.9)).alias("p90_est"),
+        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.99)).alias("p99_est"),
+    )

@@ -135,7 +135,9 @@ def _load_all() -> None:
 # basket_part_pairs_lift, events_funnel_within_window,
 # dq_key_skew_report, text_bigram_surprisal,
 # events_first_touch_attribution, agg_winsorized_value_stats,
-# orders_mom_revenue_growth — all full-oracle, never driver-checked; events_rolling_7d_hll rows-only,
+# orders_mom_revenue_growth — all full-oracle, never driver-checked;
+# sketch_theta_type_overlap / sketch_kll_value_quantiles rows-only,
+# tolerance- and merge-law-pinned in tests/test_sketches.py; events_rolling_7d_hll rows-only,
 # tolerance-pinned vs the exact twin;
 # graph_pagerank_purchases rows-only, numpy-pinned), (b) any query
 # whose engine path changes in r5, and (c) a freshness spread of the oldest

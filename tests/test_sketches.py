@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from mapreduce_docker_spark.registry import all_specs
 
 SF = "/root/testdata/sf0.01"
@@ -95,3 +97,91 @@ def test_cms_counters_merge_cellwise(spark):
         k = (r["j"], r["bucket"])
         merged[k] = merged.get(k, 0) + r["bucket_cnt"]
     assert merged == whole
+
+
+def test_theta_set_operations_match_exact(spark):
+    """Theta sketch intersection/union/difference estimates must track the
+    exact set sizes within tolerance at fixture cardinality (theta default
+    lgK=12 -> exact below ~4k distinct items, so equality is expected
+    here; the assertion still allows 5% for larger fixtures)."""
+    from mapreduce_docker_spark.operators.relational_queries import (
+        sketch_theta_type_overlap,
+    )
+    from mapreduce_docker_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    users = {
+        t: {r["user_id"] for r in ev.filter(F.col("event_type") == t).select("user_id").distinct().collect()}
+        for t in [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+    }
+    got = sketch_theta_type_overlap(spark, sf).collect()
+    assert got, "no type pairs"
+    for r in got:
+        a, b = users[r["type_a"]], users[r["type_b"]]
+        for est, exact in (
+            (r["est_intersection"], len(a & b)),
+            (r["est_union"], len(a | b)),
+            (r["est_a_minus_b"], len(a - b)),
+        ):
+            assert abs(est - exact) <= max(1, 0.05 * max(exact, 1)), (r, exact)
+
+
+def test_kll_quantiles_track_exact_and_merge(spark):
+    """KLL estimates stay near exact percentiles, and the merge law holds:
+    merging per-day sketches gives the same quantiles as one whole-table
+    sketch (KLL is deterministic given identical insert partitioning, so
+    merged-vs-whole is compared within rank tolerance, not bitwise)."""
+    from mapreduce_docker_spark.operators.relational_queries import (
+        sketch_kll_value_quantiles,
+    )
+    from mapreduce_docker_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    exact = {
+        r["event_type"]: (r["p50"], r["p90"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.9).alias("p90"),
+        )
+        .collect()
+    }
+    spread = {
+        r["event_type"]: (r["mx"] - r["mn"])
+        for r in ev.groupBy("event_type")
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+        .collect()
+    }
+    for r in sketch_kll_value_quantiles(spark, sf).collect():
+        p50x, p90x = exact[r["event_type"]]
+        tol = 0.05 * spread[r["event_type"]]  # KLL error is in RANK space;
+        # translate to value space via the per-type range
+        assert abs(r["p50_est"] - p50x) <= tol, (r, p50x)
+        assert abs(r["p90_est"] - p90x) <= tol, (r, p90x)
+
+    # merge law: sketches of two disjoint halves, merged with the binary
+    # kll_sketch_merge_double, answer like the whole-table sketch
+    whole = ev.agg(
+        F.kll_sketch_get_quantile_double(
+            F.kll_sketch_agg_double("value"), F.lit(0.5)
+        ).alias("q")
+    ).first()["q"]
+    mid = ev.agg(F.percentile(F.unix_micros("ts"), 0.5)).first()[0]
+    halves = ev.select(
+        (F.unix_micros("ts") <= F.lit(mid)).alias("h"), "value"
+    ).groupBy("h").agg(F.kll_sketch_agg_double("value").alias("sk"))
+    a, b = halves.alias("a"), halves.alias("b")
+    merged = (
+        a.join(b, F.col("a.h") & ~F.col("b.h"))
+        .select(
+            F.kll_sketch_get_quantile_double(
+                F.kll_sketch_merge_double(F.col("a.sk"), F.col("b.sk")),
+                F.lit(0.5),
+            ).alias("q")
+        )
+        .first()["q"]
+    )
+    glob_spread = ev.agg(F.max("value") - F.min("value")).first()[0]
+    assert abs(whole - merged) <= 0.05 * glob_spread, (whole, merged)
