@@ -2112,3 +2112,180 @@ def sketch_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.9)).alias("p90_est"),
         F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.99)).alias("p99_est"),
     )
+
+
+@register(
+    "orders_cohort_ltv",
+    f"""
+    WITH o AS (
+      SELECT o_custkey, o_totalprice,
+             date_trunc('month', o_orderdate::TIMESTAMP) AS m
+      FROM orders
+    ),
+    first_m AS (SELECT o_custkey, min(m) AS cohort_m FROM o GROUP BY o_custkey),
+    rev AS (
+      SELECT f.cohort_m,
+             CAST(date_diff('month', f.cohort_m, o.m) AS BIGINT) AS month_offset,
+             sum(o.o_totalprice) AS r
+      FROM o JOIN first_m f ON f.o_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT cohort_m, CAST(count(*) AS BIGINT) AS cohort_customers
+      FROM first_m GROUP BY cohort_m
+    )
+    SELECT cohort_month, month_offset, cohort_customers, cum_revenue,
+           {rsql("cum_revenue / cohort_customers", 2)} AS ltv_per_customer
+    FROM (
+      SELECT CAST(r.cohort_m AS DATE) AS cohort_month, r.month_offset,
+             s.cohort_customers,
+             -- LTV divides the ROUNDED cumulative revenue: dividing the raw
+             -- window sum puts boundary values half-a-cent apart between
+             -- engines (summation-order low bits)
+             {rsql("sum(r.r) OVER (PARTITION BY r.cohort_m ORDER BY r.month_offset)", 2)} AS cum_revenue
+      FROM rev r JOIN sizes s ON s.cohort_m = r.cohort_m
+    )
+    """,
+    section="A7,W:frame",
+    note=(
+        "customer-lifetime-value cohorts: customers cohorted by first-order "
+        "month, per (cohort, month-offset) the CUMULATIVE revenue and LTV "
+        "per customer — the running-frame window runs over the "
+        "|cohorts| x |offsets| aggregate, never the order table; the "
+        "cohort join is keyed on customer (unique keys, clean hashing). "
+        "Completes the cohort family begun by events_retention_cohorts "
+        "with the revenue dimension"
+    ),
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("m"),
+    )
+    first_m = o.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    rev = (
+        o.join(first_m, "o_custkey")
+        .groupBy(
+            "cohort_m",
+            (
+                (F.year("m") - F.year("cohort_m")) * 12
+                + (F.month("m") - F.month("cohort_m"))
+            )
+            .cast("long")
+            .alias("month_offset"),
+        )
+        .agg(F.sum("o_totalprice").alias("r"))
+    )
+    sizes = first_m.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).alias("cohort_customers")
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("month_offset")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    j = rev.join(sizes, "cohort_m")
+    cum = F.sum("r").over(w)
+    # LTV divides the ROUNDED cumulative revenue (cut-line discipline): the
+    # raw window sum's low bits are summation-order dependent and a
+    # boundary value rounds to different cents across engines
+    return j.select(
+        F.col("cohort_m").alias("cohort_month"),
+        "month_offset",
+        "cohort_customers",
+        dround(cum, 2).alias("cum_revenue"),
+    ).select(
+        "cohort_month",
+        "month_offset",
+        "cohort_customers",
+        "cum_revenue",
+        dround(F.col("cum_revenue") / F.col("cohort_customers"), 2).alias(
+            "ltv_per_customer"
+        ),
+    )
+
+
+@register(
+    "parts_abc_classification",
+    f"""
+    WITH pr AS (
+      SELECT l_partkey,
+             {rsql("sum(l_extendedprice * (1.0 - l_discount))", 2)} AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ),
+    c AS (
+      SELECT l_partkey, revenue,
+             {rsql(
+                 "sum(revenue) OVER (ORDER BY revenue DESC, l_partkey ASC)"
+                 " / sum(revenue) OVER ()", 6
+             )} AS cum_share
+      FROM pr
+    ),
+    cl AS (
+      SELECT l_partkey, revenue, cum_share,
+             CASE WHEN cum_share <= 0.8 THEN 'A'
+                  WHEN cum_share <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM c
+    )
+    SELECT abc,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           {rsql("sum(revenue)", 2)} AS class_revenue,
+           {rsql("min(cum_share)", 6)} AS min_cum_share,
+           {rsql("max(cum_share)", 6)} AS max_cum_share
+    FROM cl
+    GROUP BY abc
+    """,
+    section="A7,W:frame",
+    note=(
+        "ABC / Pareto classification: parts ranked by revenue, classified "
+        "A/B/C at the 80%/95% cumulative-share cut lines — class "
+        "boundaries compare ROUNDED shares so both engines cut identically "
+        "(the threshold discipline). The running share is a window over "
+        "the per-part AGGREGATE (|parts| rows, not lineitem); its global "
+        "ORDER BY is the documented top-k/Pareto exception — at extreme "
+        "part cardinality the cut lines come from approx-percentile "
+        "boundaries broadcast to the scan, same answer shape"
+    ),
+)
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pr = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            dround(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w_run = Window.orderBy(F.desc("revenue"), F.asc("l_partkey")).rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # rangeBetween over a composite order is invalid; rows frame matches the
+    # oracle's default RANGE frame here because (revenue, l_partkey) is a
+    # total order with no peers
+    w_rows = Window.orderBy(F.desc("revenue"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = F.sum("revenue").over(Window.partitionBy())
+    c = pr.select(
+        "l_partkey",
+        "revenue",
+        dround(F.sum("revenue").over(w_rows) / total, 6).alias("cum_share"),
+    )
+    cl = c.select(
+        "l_partkey",
+        "revenue",
+        "cum_share",
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return cl.groupBy("abc").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        dround(F.sum("revenue"), 2).alias("class_revenue"),
+        dround(F.min("cum_share"), 6).alias("min_cum_share"),
+        dround(F.max("cum_share"), 6).alias("max_cum_share"),
+    )

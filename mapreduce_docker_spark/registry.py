@@ -135,7 +135,8 @@ def _load_all() -> None:
 # basket_part_pairs_lift, events_funnel_within_window,
 # dq_key_skew_report, text_bigram_surprisal,
 # events_first_touch_attribution, agg_winsorized_value_stats,
-# orders_mom_revenue_growth — all full-oracle, never driver-checked;
+# orders_mom_revenue_growth, orders_cohort_ltv,
+# parts_abc_classification — all full-oracle, never driver-checked;
 # sketch_theta_type_overlap / sketch_kll_value_quantiles rows-only,
 # tolerance- and merge-law-pinned in tests/test_sketches.py; events_rolling_7d_hll rows-only,
 # tolerance-pinned vs the exact twin;
