@@ -2289,3 +2289,104 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.min("cum_share"), 6).alias("min_cum_share"),
         dround(F.max("cum_share"), 6).alias("max_cum_share"),
     )
+
+
+@register(
+    "lineitem_ship_latency",
+    f"""
+    WITH l AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', o.o_orderdate::TIMESTAMP, li.l_shipdate::TIMESTAMP) AS lat
+      FROM lineitem li JOIN orders o ON o.o_orderkey = li.l_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(min(lat) AS BIGINT) AS min_days,
+           CAST(max(lat) AS BIGINT) AS max_days,
+           {rsql("avg(lat)", 4)} AS avg_days,
+           {rsql("median(lat)", 4)} AS p50_days,
+           {rsql("quantile_cont(lat, 0.95)", 4)} AS p95_days
+    FROM l
+    GROUP BY o_orderpriority
+    """,
+    section="A7",
+    note=(
+        "operational latency distribution: order-to-ship days per "
+        "priority, with exact median/p95 — the SLA-dashboard staple; one "
+        "fact-dim join then a grouped aggregate over integer day "
+        "latencies (exact percentiles over ints are engine-identical)"
+    ),
+)
+def lineitem_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    l = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("lat"),
+    )
+    return l.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min("lat").cast("long").alias("min_days"),
+        F.max("lat").cast("long").alias("max_days"),
+        dround(F.avg("lat"), 4).alias("avg_days"),
+        dround(F.median("lat"), 4).alias("p50_days"),
+        dround(F.percentile("lat", 0.95), 4).alias("p95_days"),
+    )
+
+
+ZIPF_TOP_WORDS = 100
+
+
+@register(
+    "text_zipf_slope",
+    f"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents
+    ),
+    wc AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS r FROM wc
+    ),
+    top AS (SELECT ln(CAST(r AS DOUBLE)) AS lx, ln(CAST(c AS DOUBLE)) AS ly
+            FROM ranked WHERE r <= {ZIPF_TOP_WORDS})
+    SELECT CAST(count(*) AS BIGINT) AS n_words,
+           {rsql("regr_slope(ly, lx)", 6)} AS zipf_slope,
+           {rsql("regr_intercept(ly, lx)", 6)} AS zipf_intercept,
+           {rsql("regr_r2(ly, lx)", 6)} AS r2
+    FROM top
+    """,
+    section="U4,A7",
+    note=(
+        "Zipf-law fit via the SQL regression aggregates: OLS slope / "
+        "intercept / R² of ln(freq) against ln(rank) over the top-"
+        f"{ZIPF_TOP_WORDS} words — natural corpora fit slope ≈ -1; a "
+        "synthetic or templated corpus shows up as a distorted slope or "
+        "suspiciously high R². regr_* are plain mergeable sum-of-products "
+        "aggregates (combiner-friendly); the rank is a window over the "
+        "word-count AGGREGATE, not the token stream"
+    ),
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_docker_spark.functions.tokenize import tokens as _tokens
+    from mapreduce_docker_spark.sources.catalog import scatter as _scatter
+
+    toks = _scatter(load_table(spark, sf_dir, "documents")).select(
+        F.explode(_tokens("text")).alias("w")
+    )
+    wc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    ranked = wc.select(
+        "c",
+        F.row_number().over(Window.orderBy(F.desc("c"), F.asc("w"))).alias("r"),
+    ).filter(F.col("r") <= ZIPF_TOP_WORDS)
+    top = ranked.select(
+        F.log(F.col("r").cast("double")).alias("lx"),
+        F.log(F.col("c").cast("double")).alias("ly"),
+    )
+    return top.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        dround(F.regr_slope("ly", "lx"), 6).alias("zipf_slope"),
+        dround(F.regr_intercept("ly", "lx"), 6).alias("zipf_intercept"),
+        dround(F.regr_r2("ly", "lx"), 6).alias("r2"),
+    )
