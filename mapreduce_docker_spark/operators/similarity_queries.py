@@ -958,3 +958,61 @@ def emb_vector_store_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cells, "vec_id")
         .select("vec_id", "cell", "scale", "q_str", "n_saturated")
     )
+
+
+@register(
+    "emb_norm_profile",
+    f"""
+    WITH n AS (
+      SELECT label, len(embedding) AS dims,
+             sqrt(list_reduce(
+               list_prepend(0.0, list_transform(embedding,
+                                                x -> CAST(x AS DOUBLE) * x)),
+               (a, b) -> a + b)) AS nrm
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(min(dims) AS BIGINT) AS min_dims,
+           CAST(max(dims) AS BIGINT) AS max_dims,
+           {rsql("min(nrm)", 6)} AS min_norm,
+           {rsql("max(nrm)", 6)} AS max_norm,
+           {rsql("avg(nrm)", 6)} AS avg_norm,
+           CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vecs
+    FROM n
+    GROUP BY label
+    """,
+    section="U3,A7",
+    note=(
+        "embedding quality profile: per-label vector count, dimension "
+        "bounds (a min!=max row means ragged vectors — the ingestion bug "
+        "this gate exists to catch), L2-norm min/avg/max and zero-vector "
+        "count (dead embeddings break cosine math downstream). The norm is "
+        "the same sequential left-fold both engines compute bit-identically "
+        "(the cosine discipline), so min/max agree exactly and only the "
+        "order-dependent avg needs the rounding"
+    ),
+)
+def emb_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = scatter(load_table(spark, sf_dir, "embeddings"))
+    sq_sum = F.aggregate(
+        F.transform(F.col("embedding"), lambda y: y.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    n = emb.select(
+        "label",
+        F.size("embedding").alias("dims"),
+        F.sqrt(sq_sum).alias("nrm"),
+    )
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("dims").cast("long").alias("min_dims"),
+        F.max("dims").cast("long").alias("max_dims"),
+        dround(F.min("nrm"), 6).alias("min_norm"),
+        dround(F.max("nrm"), 6).alias("max_norm"),
+        dround(F.avg("nrm"), 6).alias("avg_norm"),
+        F.sum(F.when(F.col("nrm") == 0.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero_vecs"),
+    )

@@ -136,8 +136,8 @@ def _load_all() -> None:
 # dq_key_skew_report, text_bigram_surprisal,
 # events_first_touch_attribution, agg_winsorized_value_stats,
 # orders_mom_revenue_growth, orders_cohort_ltv,
-# parts_abc_classification, lineitem_ship_latency, text_zipf_slope — all
-# full-oracle, never driver-checked;
+# parts_abc_classification, lineitem_ship_latency, text_zipf_slope,
+# emb_norm_profile — all full-oracle, never driver-checked;
 # sketch_theta_type_overlap / sketch_kll_value_quantiles rows-only,
 # tolerance- and merge-law-pinned in tests/test_sketches.py; events_rolling_7d_hll rows-only,
 # tolerance-pinned vs the exact twin;
