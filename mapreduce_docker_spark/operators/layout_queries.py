@@ -60,6 +60,15 @@ def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
     target-only keys pass through. Exactly one shuffle on the merge key
     (both sides hash-partition; AQE splits skewed keys); no driver
     round-trip, no per-row Python. Schemas must match on ``target.columns``.
+
+    Limitation (deliberate, ADVICE.md r4): per-column coalesce cannot
+    express an UPDATE that sets a column to NULL — a matched source row's
+    NULL keeps the target value instead of overwriting it. Real MERGE
+    semantics would need a source-row-present marker (e.g. join on the key
+    plus ``s.<key> IS NOT NULL`` branching per column). The CDC batches
+    here never carry NULL updates, so the simpler plan is correct for
+    every registered query; do not reuse this helper where NULL-out
+    updates are possible.
     """
     t = target.alias("t")
     s = source.alias("s")

@@ -204,7 +204,7 @@ def q_bloom_benchmark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact shingle join, false positives deterministic and identical on "
         "both engines; no false negatives by construction (superset of the "
         "exact flags, pinned in tests/test_membership.py). Probe side: the "
-        "filter ships as an M-char bitmap literal (bounded collect, M=4096) "
+        f"filter ships as an M-char bitmap literal (bounded collect, M={BLOOM_M}) "
         "and membership is a map-side K-substring expression in codegen — "
         "one corpus scan, zero joins, the only shuffle carries the member "
         "subset (plan pinned: no join, no pre-filter exchange)"
@@ -212,7 +212,7 @@ def q_bloom_benchmark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the filter as an M-char '0'/'1' BITMAP LITERAL: the
-    # collect is bounded at M=4096 values whatever the benchmark holds (the
+    # collect is bounded at M=BLOOM_M values whatever the benchmark holds (the
     # SRP-plane / query-matrix budget class), and membership becomes a pure
     # map-side expression — K affine maps + K substring probes per distinct
     # shingle, inside whole-stage codegen. No probe explosion, no join:

@@ -2259,12 +2259,9 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
-    w_run = Window.orderBy(F.desc("revenue"), F.asc("l_partkey")).rangeBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    # rangeBetween over a composite order is invalid; rows frame matches the
-    # oracle's default RANGE frame here because (revenue, l_partkey) is a
-    # total order with no peers
+    # rows frame (not rangeBetween — invalid over a composite order) matches
+    # the oracle's default RANGE frame here because (revenue, l_partkey) is
+    # a total order with no peers
     w_rows = Window.orderBy(F.desc("revenue"), F.asc("l_partkey")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

