@@ -12,9 +12,10 @@ are single-scan, window-function designs:
   one Exchange feeds all three WindowExec passes (no self-joins, no
   re-shuffle between stages), then one ordinary aggregation folds users into
   stage rows. At 100 TB the only memory pressure is the per-user partition
-  buffer in WindowExec; users are bounded (events per user ≪ partition
-  budget) and a degenerate "bot" user would be handled by the same salting
-  pattern as operators/skew.py — noted, not needed for the fixture shapes.
+  buffer in WindowExec; the sessionizer carries the implemented hot-user
+  guard (segment-local windows, see events_sessionize — r4 verdict #5);
+  the funnel's windows are unordered frames whose skew-safe rewrite is a
+  grouped min + broadcast-back join, deferred until a fixture needs it.
 * the transition matrix is ``lag()`` over (user, time) then a grouped count
   — the canonical sessionization shuffle, hash-partitioned on ``user_id``.
 
@@ -191,6 +192,15 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SESSION_GAP_US = 6 * 3_600_000_000  # 6 h: sized to the fixture's ~11 h mean per-user inter-arrival
 
+# Hot-user guard (VERDICT r4 #5): the sessionizer's ordered windows run
+# within (user_id, segment) instead of bare user_id, where segment is a
+# fixed time bucket. WindowExec's partition buffer is then bounded by
+# events-per-user-per-day, not events-per-user — a bot emitting 10^6
+# events over months stays at ~day-rate per buffer instead of one
+# monolithic partition. 24 h (>= 4x the session gap) keeps cross-segment
+# session stitching rare and the per-user summary relation tiny.
+SESSION_SEGMENT_US = 24 * 3_600_000_000
+
 
 @register(
     "events_sessionize",
@@ -223,8 +233,13 @@ SESSION_GAP_US = 6 * 3_600_000_000  # 6 h: sized to the fixture's ~11 h mean per
     section="W:analytic,ST5",
     note=f"gap-based sessionization with explicit session ids: new session "
     f"when the per-user gap exceeds {SESSION_GAP_US // 3_600_000_000} h; "
-    "lag-flag + running-sum ride ONE user_id exchange, session stats are "
-    "exact integer microseconds (complements session_window, which merges "
+    "hot-user-safe: ordered windows run within (user_id, 24h segment) so "
+    "the WindowExec buffer is bounded by day-rate, then segment-local "
+    "session partials stitch across boundaries via one per-user window "
+    "over the sessions-sized partials relation — the full event stream "
+    "rides exactly ONE exchange and ONE scan (plan-pinned: 2 exchanges "
+    "total, the second carries session partials); stats are exact "
+    "integer microseconds (complements session_window, which merges "
     "windows but does not expose stable per-session ids)",
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,29 +247,84 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``F.session_window`` (events_session_5m) aggregates within merged
     windows but gives no stable session INDEX to join other relations on;
-    the standard formulation is lag -> boundary flag -> running sum, all
-    over the same (user_id, time) ordering, so Catalyst plans ONE exchange
-    and two WindowExec passes (plan-tested). The final per-session fold
-    shuffles on (user_id, session_idx) — unique keys, clean hashing.
+    the classic formulation is lag -> boundary flag -> running sum over a
+    bare ``user_id`` partitioning — which buffers EVERY event of a user in
+    one WindowExec partition, the r4-verdict hot-user hazard (at 100 TB a
+    10^8-event bot is a certainty, not an edge case).
+
+    Segmented engine path (same semantics, plan- and oracle-pinned equal):
+
+    1. events exchange ONCE on ``(user_id, seg)`` (``seg`` = 24 h time
+       bucket); lag-flag + running-sum windows and the per-local-session
+       partial fold all ride that one exchange (grouping keys are a
+       superset of the partitioning) — buffer bounded by events/user/day;
+    2. the partials tile each user's timeline in ``(seg, local_idx)``
+       order, so ONE per-user ordered window over the partials relation
+       decides everything: a partial continues the previous session iff
+       its first event is within the gap of the previous partial's last
+       event (within-segment neighbors are > gap apart by construction,
+       so only segment-boundary partials can merge), and the global
+       ``session_idx`` is the running count of non-merging partials.
+       This window's partitions hold sessions-per-user rows, thousands
+       of times smaller than events — and no join, no second scan;
+    3. the final fold on ``(user_id, session_idx)`` reuses the per-user
+       partitioning (grouping keys ⊇ partitioning), so a session spanning
+       k segments merges its k partials without another exchange.
+
+    A burst bot (10^6 events inside one day) still lands in one segment
+    buffer — but events within one gap window ARE one session by
+    definition; the guard bounds the buffer by burst duration rather than
+    account lifetime, which is the WindowExec-feasible bound.
     """
     ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "ts", F.unix_micros("ts").alias("us")
+        "event_id",
+        "user_id",
+        "ts",
+        F.unix_micros("ts").alias("us"),
+        (F.unix_micros("ts") / F.lit(SESSION_SEGMENT_US)).cast("long").alias("seg"),
     )
-    w = Window.partitionBy("user_id").orderBy(F.asc("us"), F.asc("event_id"))
-    prev = F.lag("us").over(w)
+    w_seg = Window.partitionBy("user_id", "seg").orderBy(F.asc("us"), F.asc("event_id"))
+    prev = F.lag("us").over(w_seg)
     flagged = ev.withColumn(
-        "new_session",
+        "new_local",
         F.when(prev.isNull() | ((F.col("us") - prev) > SESSION_GAP_US), 1).otherwise(0),
     )
-    cum = Window.partitionBy("user_id").orderBy(F.asc("us"), F.asc("event_id")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    numbered = flagged.withColumn("session_idx", F.sum("new_session").over(cum))
-    return numbered.groupBy("user_id", F.col("session_idx").cast("long").alias("session_idx")).agg(
+    cum = w_seg.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    numbered = flagged.withColumn("local_idx", F.sum("new_local").over(cum))
+    # segment-local session partials: grouping keys ⊇ window partitioning,
+    # so this folds without a re-shuffle — events never exchange again
+    part = numbered.groupBy("user_id", "seg", "local_idx").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
-        (F.max("us") - F.min("us")).cast("long").alias("duration_us"),
+        F.min("ts").alias("p_start"),
+        F.max("ts").alias("p_end"),
+        F.min("us").alias("p_first_us"),
+        F.max("us").alias("p_last_us"),
+    )
+    # partials tile the user's timeline in (seg, local_idx) order, so a
+    # single per-user window settles global session identity: a partial
+    # merges into the previous session iff the boundary gap is within
+    # SESSION_GAP_US (only segment-boundary partials can — within-segment
+    # neighbors are > gap apart by construction); session_idx = running
+    # count of non-merging partials. The ONLY bare-user_id window in the
+    # plan, over a sessions-sized relation. NULL prev (user's first
+    # partial) -> otherwise(0) -> counted as session 1.
+    w_user = Window.partitionBy("user_id").orderBy(F.asc("seg"), F.asc("local_idx"))
+    prev_end = F.lag("p_last_us").over(w_user)
+    merged = part.withColumn(
+        "merge",
+        F.when((F.col("p_first_us") - prev_end) <= SESSION_GAP_US, 1).otherwise(0),
+    )
+    glob = merged.withColumn(
+        "session_idx",
+        F.sum(F.lit(1) - F.col("merge"))
+        .over(w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return glob.groupBy("user_id", "session_idx").agg(
+        F.sum("n_events").alias("n_events"),
+        F.min("p_start").alias("session_start"),
+        F.max("p_end").alias("session_end"),
+        (F.max("p_last_us") - F.min("p_first_us")).cast("long").alias("duration_us"),
     )
 
 

@@ -306,14 +306,44 @@ def test_surprisal_does_not_broadcast_the_lm(spark, specs):
     assert "BatchEvalPython" not in plan
 
 
-def test_sessionize_single_exchange(spark, specs):
-    """lag-flag, running-sum, AND the per-session fold all ride ONE
-    user_id exchange: the session grouping (user_id, session_idx) is a
-    superset of the window partitioning, so Catalyst plans the final
-    aggregation without a re-shuffle."""
+def test_sessionize_hot_user_guard_plan(spark, specs):
+    """Segmented sessionizer (r4 verdict #5): the full event stream is
+    scanned once and exchanged once — on (user_id, seg), so WindowExec
+    buffers are bounded by events/user/day, not events/user — and the
+    only bare-user_id exchange carries the sessions-sized partials
+    relation; the final (user_id, session_idx) fold reuses that
+    partitioning (grouping keys ⊇ partitioning, no third exchange)."""
     plan = _plan(spark, specs, "events_sessionize")
-    assert plan.count("Exchange") == 1, plan
-    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    assert plan.count("Exchange") == 2, plan
+    assert plan.count("FileScan parquet") == 1, plan
+    # the events exchange carries seg; the partials exchange does not
+    import re
+
+    parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert sum("seg" in p for p in parts) == 1, plan
+    assert sum("seg" not in p and "user_id" in p for p in parts) == 1, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_rolling_7d_band_join_on_collapsed_relation(spark, specs):
+    """The exact rolling-distinct's 7-day band join must fan out the
+    PRE-COLLAPSED (user_id, day) distinct — never raw events: the BNLJ's
+    stream side is the distinct aggregate, and the broadcast side is the
+    tiny day list (r4 verdict #6). Raw-events fan-out would multiply the
+    event stream 7x before any aggregation."""
+    plan = _plan(spark, specs, "events_rolling_7d_active_users")
+    lines = plan.splitlines()
+    bnlj = [i for i, l in enumerate(lines) if "BroadcastNestedLoopJoin" in l]
+    assert len(bnlj) == 1, plan
+    # immediate stream-side child: the (user_id, d) distinct, no functions
+    import re
+
+    child = lines[bnlj[0] + 1]
+    assert re.search(
+        r"HashAggregate\(keys=\[user_id#\d+L?, d#\d+\], functions=\[\]", child
+    ), child
+    # broadcast side is the day list, not an events-sized relation
+    assert "BroadcastExchange IdentityBroadcastMode" in plan
     assert "BatchEvalPython" not in plan
 
 
