@@ -245,6 +245,133 @@ def _dedup_scaling_probe(spark) -> dict:
     return out
 
 
+def _graph_scaling_probe(spark) -> dict:
+    """Triangle census + PageRank cost at x1/x4/x16 synthetic edge growth
+    (VERDICT r4 #4 — the dedup_lsh_scaling pattern applied to the graph
+    family).
+
+    Edge growth = disjoint replicas (node ids offset per replica), so edge
+    count scales by the multiplier while per-node degree stays constant —
+    isolating the claimed scaling laws: census joins fan out on oriented
+    degree (constant here -> expect ~linear in edges), each PageRank
+    iteration is one join + one groupBy over the edge list (~linear).
+    The probes reuse the registered plans verbatim (triangle_census /
+    pagerank_ranks are the same helpers the registered queries call); the
+    x1 near-dup edge relation is derived once and checkpointed so the
+    probe times the CENSUS, not the already-measured LSH stage. Records
+    max oriented degree (the census's skew bound) alongside the timings.
+    """
+    from pyspark.sql import functions as F
+
+    from mapreduce_docker_spark.operators.dedup_queries import dedup_minhash_pairs
+    from mapreduce_docker_spark.operators.graph_queries import (
+        pagerank_ranks,
+        triangle_census,
+    )
+
+    out: dict = {}
+    _OFF = 10_000_000  # > any fixture id: replicas are disjoint subgraphs
+
+    # --- triangle census over the near-dup graph ---
+    dup1 = (
+        dedup_minhash_pairs(spark, SF_DIR)
+        .select(F.col("doc_a").alias("lo"), F.col("doc_b").alias("hi"))
+        .localCheckpoint(eager=True)  # x1 edges derived ONCE, LSH untimed
+    )
+
+    def rep_edges(base, cols, mult):
+        reps = F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("rep")
+        return base.select(*cols, reps).select(
+            *[(F.col(c) + F.col("rep") * _OFF).alias(c) for c in cols]
+        )
+
+    max_odeg = (
+        dup1.groupBy("lo").count().agg(F.max("count")).collect()[0][0] or 0
+    )
+    out["census_max_oriented_degree"] = int(max_odeg)
+
+    def census_once(mult: int) -> float:
+        e = rep_edges(dup1, ["lo", "hi"], mult)
+        t0 = time.perf_counter()
+        triangle_census(e).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    census_once(1)  # codegen warm-up
+    for m in (1, 4, 16):
+        out[f"census_x{m}"] = round(min(census_once(m) for _ in range(2)), 3)
+    out["census_x16_over_x1"] = round(out["census_x16"] / out["census_x1"], 2)
+    # the near-dup graph is tiny at sf0.1 (a few hundred edges), so the
+    # curve above measures the overhead FLOOR (expect ~flat). For a real
+    # exponent, run the same census plan over a dense substrate: the
+    # co-purchase graph (parts co-occurring in an order, oriented lo<hi).
+    # A quarter of orders keeps x4 inside the bench budget; wedge count
+    # (the census join's output size) is recorded with the timing.
+    from mapreduce_docker_spark.sources.catalog import load_table
+
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    cop = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("lo"), F.col("b.l_partkey").alias("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out["copurchase_edges"] = cop.count()
+    out["copurchase_max_oriented_degree"] = int(
+        cop.groupBy("lo").count().agg(F.max("count")).collect()[0][0] or 0
+    )
+
+    def cop_census_once(mult: int) -> float:
+        e = rep_edges(cop, ["lo", "hi"], mult)
+        t0 = time.perf_counter()
+        triangle_census(e).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    cop_census_once(1)  # warm-up
+    for m in (1, 4):
+        out[f"copurchase_census_x{m}"] = round(
+            min(cop_census_once(m) for _ in range(2)), 3
+        )
+    out["copurchase_census_x4_over_x1"] = round(
+        out["copurchase_census_x4"] / out["copurchase_census_x1"], 2
+    )
+
+    # --- PageRank over the purchase graph (3 iterations: the exponent is
+    # per-iteration cost; fewer rounds keep the probe inside the bench
+    # budget while measuring the identical per-iteration plan) ---
+    from mapreduce_docker_spark.operators.graph_queries import (
+        _symmetrized_purchase_edges,
+    )
+
+    pe1 = _symmetrized_purchase_edges(spark, SF_DIR).localCheckpoint(eager=True)
+
+    def pr_once(mult: int) -> float:
+        reps = F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("rep")
+        e = pe1.select("src", "dst", reps).select(
+            F.concat(F.col("src"), F.lit("_"), F.col("rep")).alias("src"),
+            F.concat(F.col("dst"), F.lit("_"), F.col("rep")).alias("dst"),
+        )
+        t0 = time.perf_counter()
+        pagerank_ranks(e, iters=3).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    pr_once(1)  # codegen warm-up
+    for m in (1, 4, 16):
+        out[f"pagerank3_x{m}"] = round(min(pr_once(m) for _ in range(2)), 3)
+    out["pagerank3_x16_over_x1"] = round(
+        out["pagerank3_x16"] / out["pagerank3_x1"], 2
+    )
+    return out
+
+
 def main() -> None:
     specs = all_specs()
     spark = get_spark(app_name="bench")
@@ -316,6 +443,7 @@ def main() -> None:
             else _text_throughput(spark, 1000)
         )
         dedup_scaling = _dedup_scaling_probe(spark)
+        graph_scaling = _graph_scaling_probe(spark)
 
         sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
         try:
@@ -336,6 +464,7 @@ def main() -> None:
                     "text_corpus_wordcount": text,
                     "text_corpus_wordcount_1gb": text_1gb,
                     "dedup_lsh_scaling": dedup_scaling,
+                    "graph_scaling": graph_scaling,
                 }
             )
         )

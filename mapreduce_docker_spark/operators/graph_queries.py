@@ -107,7 +107,16 @@ def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _dup_edges(spark, sf_dir)
+    return triangle_census(_dup_edges(spark, sf_dir))
+
+
+def triangle_census(e: DataFrame) -> DataFrame:
+    """Census plan over an oriented (lo < hi) edge relation.
+
+    Shared by the registered near-dup-graph query and bench.py's
+    graph_scaling probe (which feeds synthetically replicated edges), so
+    the probe measures exactly the registered plan.
+    """
     # the edge list is reused by four aggregates and two self-join probes;
     # persist the tiny verified-pair relation instead of re-running LSH
     e = e.persist()
@@ -233,22 +242,34 @@ def q_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pagerank_top20(_symmetrized_purchase_edges(spark, sf_dir))
+
+
+def _symmetrized_purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrize with typed node ids (customer ids and supplier ids share
+    an integer domain): side 'c'/'s' disambiguates."""
     e = _purchase_edges(spark, sf_dir)
-    # symmetrize with typed node ids (customer ids and supplier ids share an
-    # integer domain): side 'c'/'s' disambiguates
-    edges = (
+    return e.select(
+        F.concat(F.lit("c"), F.col("cust")).alias("src"),
+        F.concat(F.lit("s"), F.col("supp")).alias("dst"),
+    ).unionByName(
         e.select(
-            F.concat(F.lit("c"), F.col("cust")).alias("src"),
-            F.concat(F.lit("s"), F.col("supp")).alias("dst"),
+            F.concat(F.lit("s"), F.col("supp")).alias("src"),
+            F.concat(F.lit("c"), F.col("cust")).alias("dst"),
         )
-        .unionByName(
-            e.select(
-                F.concat(F.lit("s"), F.col("supp")).alias("src"),
-                F.concat(F.lit("c"), F.col("cust")).alias("dst"),
-            )
-        )
-        .persist()
     )
+
+
+def pagerank_ranks(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
+    """Power iteration over a symmetrized (src, dst) edge relation.
+
+    Shared by the registered purchase-graph query and bench.py's
+    graph_scaling probe, so the probe measures exactly the registered
+    per-iteration plan. Caller guarantees the graph is symmetric (no
+    dangling nodes); returns (v, rank) un-rounded.
+    """
+    edges = edges.persist()
+    nodes = None
     try:
         # fold the (static) out-degree into the edge list ONCE: the loop
         # then pays a single join per iteration instead of two — at any
@@ -259,10 +280,10 @@ def q_graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("src", "dst", "odeg")
             .localCheckpoint(eager=True)
         )
-        nodes = edges_w.select(F.col("src").alias("v")).distinct().persist()
+        nodes = edges_w.select(F.col("src")).distinct().persist()
         n = nodes.count()  # bounded: node count, not row data
-        ranks = nodes.select("v", F.lit(1.0 / n).alias("rank"))
-        for i in range(PAGERANK_ITERS):
+        ranks = nodes.select(F.col("src").alias("v"), F.lit(1.0 / n).alias("rank"))
+        for i in range(iters):
             # the symmetrized graph has no dangling nodes AND no sink-less
             # nodes: every node has out-edges (odeg>0) and in-edges, so the
             # inflow aggregate already covers the full vertex set — no
@@ -281,24 +302,26 @@ def q_graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             if (i + 1) % 3 == 0:
                 ranks = ranks.localCheckpoint(eager=True)
-        # order by the ROUNDED rank: raw doubles differ in the last ulp with
-        # partition order, so structurally-tied nodes would flip; 9-decimal
-        # rounding + the v tiebreak makes the top-20 deterministic
-        rounded = ranks.select("v", dround(F.col("rank"), 9).alias("rank"))
-        top = (
-            rounded.orderBy(F.desc("rank"), F.asc("v"))
-            .limit(20)
-            .select(
-                F.substring("v", 1, 1).alias("side"),
-                F.substring("v", 2, 30).cast("long").alias("node_id"),
-                "rank",
-            )
-        )
-        top = top.localCheckpoint(eager=True)
+        ranks = ranks.localCheckpoint(eager=True)
     finally:
         edges.unpersist()
-        try:
+        if nodes is not None:
             nodes.unpersist()
-        except NameError:  # pragma: no cover - edges.persist() itself failed
-            pass
-    return top
+    return ranks
+
+
+def pagerank_top20(edges: DataFrame) -> DataFrame:
+    ranks = pagerank_ranks(edges)
+    # order by the ROUNDED rank: raw doubles differ in the last ulp with
+    # partition order, so structurally-tied nodes would flip; 9-decimal
+    # rounding + the v tiebreak makes the top-20 deterministic
+    rounded = ranks.select("v", dround(F.col("rank"), 9).alias("rank"))
+    return (
+        rounded.orderBy(F.desc("rank"), F.asc("v"))
+        .limit(20)
+        .select(
+            F.substring("v", 1, 1).alias("side"),
+            F.substring("v", 2, 30).cast("long").alias("node_id"),
+            "rank",
+        )
+    )
