@@ -45,6 +45,37 @@ def test_triangle_stats_match_bruteforce(spark):
     assert 3 * row["n_triangles"] <= row["n_wedges"]
 
 
+def test_triangle_census_helper_crafted_graph(spark):
+    """Hand-computed census on K4 ∪ path: the shared helper bench.py's
+    graph_scaling probe feeds with replicated edges. K4 = 4 triangles,
+    12 wedges, clustering 1.0 within itself; the 5-6-7 path adds one open
+    wedge and nothing else. A disjoint replica must exactly double every
+    count and leave clustering unchanged (the probe's scaling premise)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_docker_spark.operators.graph_queries import triangle_census
+
+    k4 = [(a, b) for a, b in combinations([1, 2, 3, 4], 2)]
+    path = [(5, 6), (6, 7)]
+    e = spark.createDataFrame(k4 + path, "lo long, hi long")
+    row = triangle_census(e).first()
+    assert row["n_nodes"] == 7
+    assert row["n_edges"] == 8
+    assert row["n_wedges"] == 12 + 1
+    assert row["n_triangles"] == 4
+    assert abs(row["clustering"] - 3.0 * 4 / 13) < 1e-6
+
+    rep = e.unionAll(e.select((F.col("lo") + 100).alias("lo"), (F.col("hi") + 100).alias("hi")))
+    row2 = triangle_census(rep).first()
+    assert (row2["n_nodes"], row2["n_edges"], row2["n_wedges"], row2["n_triangles"]) == (
+        14,
+        16,
+        26,
+        8,
+    )
+    assert row2["clustering"] == row["clustering"]
+
+
 def test_pagerank_matches_numpy_power_iteration(spark):
     edges = [(r["cust"], r["supp"]) for r in _purchase_edges(spark, SF).collect()]
     # replicate the engine's typed symmetrized node ids and tiebreak
