@@ -252,6 +252,83 @@ def test_sessionize_equals_naive_single_window(spark):
     assert got == want
 
 
+def test_sessionize_randomized_equivalence(spark, tmp_path):
+    """Seeded adversarial corpus for segmented-vs-naive equivalence: gaps
+    drawn to straddle the 24 h segment boundary and to land EXACTLY on the
+    6 h session gap (> is a new session, == is not — both engines must cut
+    identically), plus duplicate timestamps resolved by the event_id
+    tiebreak. One Spark round-trip, deterministic under seed."""
+    import random
+
+    rng = random.Random(20260814)
+    gap, seg = fq.SESSION_GAP_US, fq.SESSION_SEGMENT_US
+    rows = []
+    eid = 0
+    base = 1_704_067_200_000_000  # 2024-01-01 UTC
+    for user in range(1, 21):
+        us = base + rng.randrange(0, seg)
+        for _ in range(rng.randrange(5, 60)):
+            eid += 1
+            rows.append((eid, us, user))
+            r = rng.random()
+            if r < 0.15:
+                step = gap  # exactly the gap: SAME session on both paths
+            elif r < 0.25:
+                step = gap + 1  # one µs over: new session
+            elif r < 0.35:
+                step = 0  # duplicate timestamp: event_id tiebreak
+            elif r < 0.55:
+                # lands near a segment boundary with a sub-gap step
+                step = seg - (us - base) % seg + rng.randrange(0, gap)
+            else:
+                step = rng.randrange(1, 2 * gap)
+            us += step
+    df = spark.createDataFrame(rows, "event_id long, us long, user_id long").select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id",
+        F.lit("view").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    from pyspark.sql.window import Window
+
+    from mapreduce_docker_spark.sources.catalog import load_table
+
+    ev = load_table(spark, str(tmp_path), "events").select(
+        "event_id", "user_id", "ts", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("us"), F.asc("event_id"))
+    prev = F.lag("us").over(w)
+    naive = (
+        ev.withColumn(
+            "new_session",
+            F.when(
+                prev.isNull() | ((F.col("us") - prev) > fq.SESSION_GAP_US), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_idx",
+            F.sum("new_session")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (F.max("us") - F.min("us")).cast("long").alias("duration_us"),
+        )
+    )
+    got = sorted(map(tuple, fq.events_sessionize(spark, str(tmp_path)).collect()))
+    want = sorted(map(tuple, naive.collect()))
+    assert len(got) > 25  # the generator actually produced multi-session users
+    assert got == want
+
+
 def test_rolling_hll_within_tolerance_of_exact(spark):
     """The mergeable-sketch rolling path must track the exact rolling
     distinct within HLL tolerance (lgConfigK default 12 -> ~1.6% rse; 5%
