@@ -347,9 +347,11 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CDC log compaction: keep the LATEST event per (user, type) — "
         "ts-desc with event_id tiebreak — the upsert-log -> current-state "
         "collapse every changelog consumer performs. One shuffle on the "
-        "compaction key; per-key state in WindowExec is one row's metadata "
-        "since rn=1 short-circuits. At 100 TB this is the compaction pass "
-        "of a streaming table (same keying as the stateful dedup)"
+        "compaction key; rn=1 lowers to WindowGroupLimit in Partial (map-"
+        "side, pre-shuffle) AND Final mode (plan-pinned), so per-key state "
+        "is one row however hot the key — the optimizer supplies the "
+        "hot-key bound here. At 100 TB this is the compaction pass of a "
+        "streaming table (same keying as the stateful dedup)"
     ),
 )
 def events_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -325,6 +325,18 @@ def test_sessionize_hot_user_guard_plan(spark, specs):
     assert "BatchEvalPython" not in plan
 
 
+def test_compact_latest_window_group_limit(spark, specs):
+    """CDC compaction's rn=1 must lower to WindowGroupLimit in BOTH
+    Partial (map-side, before the shuffle) and Final modes: per-group
+    state is then one row regardless of how hot a (user, event_type) key
+    is — the hot-key bound for this query comes from the optimizer, no
+    segmenting needed."""
+    plan = _plan(spark, specs, "events_compact_latest")
+    assert "WindowGroupLimit" in plan, plan
+    assert ", Partial" in plan and ", Final" in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_rolling_7d_band_join_on_collapsed_relation(spark, specs):
     """The exact rolling-distinct's 7-day band join must fan out the
     PRE-COLLAPSED (user_id, day) distinct — never raw events: the BNLJ's
