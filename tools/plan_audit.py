@@ -1,0 +1,198 @@
+"""Anti-pattern sweep over registered query plans.
+
+For every (non-streaming) registered query, build the physical plan at a
+small fixture and flag the operators that are usually scale bugs:
+``BatchEvalPython`` (row-at-a-time Python), ``CartesianProduct``,
+``BroadcastNestedLoopJoin``, ``ArrowEvalPython``, and the grouped-pandas
+exec nodes. Every legitimate occurrence in this engine is a *documented
+bounded pattern* (1-row broadcast scalar injection, the rolling band join
+against a broadcast day list, the bounded dense-grid build, the UDTF /
+pandas-twin representatives) and is listed in ``KNOWN`` below with its
+reason — so the audit's pass condition is "flags == KNOWN", and any NEW
+flag is a regression to explain or fix, not noise to skim past.
+
+Usage::
+
+    python tools/plan_audit.py [sf_dir] [--window-only]
+
+Exits 0 iff the flag set matches KNOWN exactly (missing known flags are
+reported but tolerated: an optimizer improvement can legitimately remove
+one — update KNOWN when that happens).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mapreduce_docker_spark.registry import all_specs  # noqa: E402
+from mapreduce_docker_spark.session import get_spark  # noqa: E402
+
+# name -> (flags, why it is bounded / intentional)
+KNOWN: dict[str, tuple[frozenset[str], str]] = {
+    "join_cross_region_priority_grid": (
+        frozenset({"bnlj"}),
+        "documented dense-grid fill: |regions| x |priorities| crossJoin",
+    ),
+    "agg_histogram_totalprice": (
+        frozenset({"bnlj"}),
+        "1-row min/max stats relation broadcast into the bucket expression",
+    ),
+    "q22_global_sales_opportunity": (
+        frozenset({"bnlj"}),
+        "scalar subquery (global avg balance) broadcast as a 1-row relation",
+    ),
+    "basket_part_pairs_lift": (
+        frozenset({"bnlj"}),
+        "1-row total-order-count scalar broadcast into the lift expression",
+    ),
+    "text_bigram_surprisal": (
+        frozenset({"bnlj"}),
+        "1-row continuation-vocabulary scalar broadcast into smoothing",
+    ),
+    "bloom_benchmark_filter": (
+        frozenset({"bnlj"}),
+        "1-row filter-stats relation (bits set / fill ratio) broadcast",
+    ),
+    "sim_ann_ivf_stored": (
+        frozenset({"bnlj"}),
+        "10-row query matrix broadcast against candidate buckets (bounded)",
+    ),
+    "udf_udtf_analyze_trigrams": (
+        frozenset({"row-python"}),
+        "Python UDTF representative: BatchEvalPython is the UDTF exec node "
+        "itself — the query exists to cover the UDTF surface",
+    ),
+    "events_rolling_7d_active_users": (
+        frozenset({"bnlj"}),
+        "the designed 6-day band join: pre-collapsed (user, day) against "
+        "the BROADCAST day list (plan-pinned in tests/test_plans.py)",
+    ),
+    "events_daily_gapfill_locf": (
+        frozenset({"bnlj"}),
+        "bounded dense (user x day) grid build for the gap fill",
+    ),
+    "sketch_theta_type_overlap": (
+        frozenset({"bnlj"}),
+        "|types|^2 pairwise sketch algebra over a handful of rows",
+    ),
+    "sim_cosine_topk_pandas": (
+        frozenset({"pandas-grouped"}),
+        "the Arrow grouped-pandas TWIN of the JVM-side top-k (exists to "
+        "cover the pandas surface; asserted equal to the codegen path)",
+    ),
+    "events_rolling_7d_hll": (
+        frozenset({"bnlj"}),
+        "band join unions |days| daily sketches — KB-scale broadcast",
+    ),
+    # pandas-surface representatives (grouped/cogrouped/mapInPandas)
+    "udf_applyinpandas_zscore": (frozenset({"pandas-grouped"}), "U6 surface"),
+    "udf_cogroup_user_conversion": (frozenset({"pandas-grouped"}), "U6 surface"),
+    "udf_udtf_bigrams": (frozenset({"row-python"}), "Python UDTF surface"),
+    "dedup_jaccard_sample": (
+        frozenset({"bnlj"}),
+        "bounded doc-sample side (the query is the small rounded-Jaccard "
+        "spot-check, not a corpus-scale pair scan)",
+    ),
+    "emb_vector_store_build": (
+        frozenset({"bnlj"}),
+        "k-row centroid matrix broadcast for IVF assignment",
+    ),
+    "sim_ann_ivf": (
+        frozenset({"bnlj"}),
+        "k-row centroid matrix broadcast for IVF assignment",
+    ),
+    "sim_cosine_topk": (
+        frozenset({"bnlj"}),
+        "10-row query matrix broadcast (the documented bounded collect)",
+    ),
+    "sample_temperature_mix": (
+        frozenset({"bnlj"}),
+        "1-row (sum sqrt(c), sum c) normalization scalars broadcast",
+    ),
+    "scalar_levenshtein_nations": (
+        frozenset({"bnlj"}),
+        "all-pairs over the 25-row nation dim (bounded by contract)",
+    ),
+    "text_langid_nb": (
+        frozenset({"bnlj"}),
+        "|langs|-row class-prior relation broadcast; the vocab-sized "
+        "likelihood grid shuffle-joins on word (plan-pinned de-broadcast)",
+    ),
+    "text_tfidf_top_term": (
+        frozenset({"bnlj"}),
+        "1-row corpus-size scalar broadcast into idf",
+    ),
+    "text_unigram_surprisal": (
+        frozenset({"bnlj"}),
+        "1-row corpus-total scalar broadcast (plan-pinned: the LM itself "
+        "shuffle-joins)",
+    ),
+    "multimodal_features": (frozenset({"pandas-grouped"}), "U5 mapInPandas"),
+    "multimodal_resize": (frozenset({"pandas-grouped"}), "U5 mapInPandas"),
+    "multimodal_frame_stats": (frozenset({"pandas-grouped"}), "U5 mapInPandas"),
+    "udf_pandas_saturation": (frozenset({"arrow-scalar-udf"}), "U6 scalar pandas_udf"),
+}
+
+FLAG_NODES = {
+    "row-python": "BatchEvalPython",
+    "cartesian": "CartesianProduct",
+    "bnlj": "BroadcastNestedLoopJoin",
+    "arrow-scalar-udf": "ArrowEvalPython",
+}
+PANDAS_NODES = ("FlatMapGroupsInPandas", "MapInPandas", "FlatMapCoGroupsInPandas",
+                "AggregateInPandas")
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
+        else "/root/testdata/sf0.001"
+    window_only = "--window-only" in sys.argv
+    specs = all_specs()
+    names = list(specs)[:50] if window_only else list(specs)
+    spark = get_spark(app_name="plan_audit")
+    flagged: dict[str, frozenset[str]] = {}
+    errors: dict[str, str] = {}
+    try:
+        for name in names:
+            if name.startswith("streaming_"):
+                continue  # streaming entries execute eagerly; audited in tests
+            try:
+                plan = (
+                    specs[name].fn(spark, sf_dir)
+                    ._jdf.queryExecution().executedPlan().toString()
+                )
+            except Exception as ex:  # noqa: BLE001 - report, don't die
+                errors[name] = str(ex)[:200]
+                continue
+            flags = {f for f, node in FLAG_NODES.items() if node in plan}
+            if any(n in plan for n in PANDAS_NODES):
+                flags.add("pandas-grouped")
+            # a UDTF plan also contains BatchEvalPython-like nodes; keep both
+            if flags:
+                flagged[name] = frozenset(flags)
+    finally:
+        spark.stop()
+
+    unexpected = {
+        n: sorted(f) for n, f in flagged.items()
+        if n not in KNOWN or not f <= KNOWN[n][0]
+    }
+    missing = sorted(n for n in KNOWN if n in dict.fromkeys(names) and n not in flagged)
+    print(f"audited {len(names)} queries at {sf_dir}: "
+          f"{len(flagged)} flagged, all-known={not unexpected}")
+    for n, f in sorted(flagged.items()):
+        tag = "OK (known)" if n in KNOWN and f <= KNOWN[n][0] else "UNEXPECTED"
+        print(f"  [{tag}] {n}: {','.join(sorted(f))}")
+    if missing:
+        print("known flags not observed (optimizer improvement? update KNOWN):",
+              missing)
+    for n, e in errors.items():
+        print(f"  [ERROR] {n}: {e}")
+    return 1 if unexpected or errors else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
