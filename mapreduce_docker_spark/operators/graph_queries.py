@@ -282,6 +282,12 @@ def pagerank_ranks(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
         )
         nodes = edges_w.select(F.col("src")).distinct().persist()
         n = nodes.count()  # bounded: node count, not row data
+        if n == 0:
+            # filtered-to-empty graph: return the empty rank relation with
+            # the right schema instead of dividing by zero below
+            return nodes.select(
+                F.col("src").alias("v"), F.lit(0.0).alias("rank")
+            )
         ranks = nodes.select(F.col("src").alias("v"), F.lit(1.0 / n).alias("rank"))
         for i in range(iters):
             # the symmetrized graph has no dangling nodes AND no sink-less

@@ -189,7 +189,10 @@ def q_layout_partition_pruned_events(spark: SparkSession, sf_dir: str) -> DataFr
     out = _write_once(
         "events_by_date", digest, lambda p: write_partitioned(ev, p, "event_date")
     )
-    back = spark.read.parquet(out)
+    # explicit schema: inference needs at least one data file, and a
+    # filtered-to-empty input legitimately writes none (also skips the
+    # footer-sampling pass a 100 TB table would otherwise pay)
+    back = spark.read.schema(ev.schema).parquet(out)
     return back.groupBy("event_date", "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),

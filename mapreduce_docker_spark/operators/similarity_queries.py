@@ -739,9 +739,22 @@ def sim_ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.replace(tmp, base)
         except OSError:  # a concurrent session won the build race
             shutil.rmtree(tmp, ignore_errors=True)
-    cent = spark.read.parquet(os.path.join(base, "centroids"))
-    cells = spark.read.parquet(os.path.join(base, "cells")).withColumn(
-        "cent_id", F.col("cent_id").cast("long")  # partition-col inference is int
+    # explicit read schemas, derived lazily from the builder plans (pure
+    # analysis, no execution): inference needs at least one data file, and
+    # a filtered-to-empty corpus legitimately writes none
+    unit0 = _unit_vectors(spark, sf_dir).select("vec_id", "u")
+    cent = spark.read.schema(_ivf_centroids(unit0).schema).parquet(
+        os.path.join(base, "centroids")
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cells_schema = StructType(
+        list(unit0.schema.fields) + [StructField("cent_id", LongType())]
+    )
+    cells = spark.read.schema(cells_schema).parquet(
+        os.path.join(base, "cells")
+    ).withColumn(
+        "cent_id", F.col("cent_id").cast("long")  # no-op under the explicit schema
     )
     # probe side: only the bounded query set ranks cells — at 100 TB the
     # corpus never re-scores against centroids at query time
