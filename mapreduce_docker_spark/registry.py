@@ -129,6 +129,17 @@ def _load_all() -> None:
 # q17/q18/q22, events_tumbling_10m, sim_cosine_topk, sim_ann_srp,
 # udf_pandas_saturation, sql_interface_revenue_by_nation,
 # set-ops/string/date/math families last checked r1).
+# r6 fix queue (found by the r5 all-query empty-input sweep, NOT fixed
+# in r5 because these are outside the frozen window and an engine-path
+# change must rotate in for re-certification):
+#   * agg_approx_distinct_tolerance divides |approx-exact|/exact —
+#     exact=0 on an empty table raises DIVIDE_BY_ZERO; guard with
+#     try_divide-style NULL or a WHERE exact > 0 on both engines.
+#   * text_ml_pipeline_tfidf / sim_brp_lsh_ml: pyspark.ml .fit() throws
+#     on an empty dataset (library behavior); gate with an early
+#     empty-check returning the typed empty relation.
+# The in-window empty-input crashers (stored-IVF/hive read-back schema
+# inference, PageRank 1/0 seed) were fixed in r5 and re-certified.
 _PRIORITY_WINDOW = (
     # canaries (driver-green r1-r4; events_sessionize re-certifies the r5
     # hot-user guard on the sessionizer engine path)
