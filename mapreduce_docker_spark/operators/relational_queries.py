@@ -1028,6 +1028,7 @@ def agg_hll_sketch_union_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT 'user_id', CAST(count(DISTINCT user_id) AS BIGINT), TRUE FROM events
     )
+    WHERE exact_nd > 0
     """,
     section="A4",
     note="the approx-count-distinct TOLERANCE claim as an oracle-checked "
@@ -1036,7 +1037,10 @@ def agg_hll_sketch_union_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "derives the exact count and asserts the bound LITERALLY TRUE — so a "
     "drifting estimator hash-mismatches. The estimate itself stays out of "
     "the projection (engine-specific); judge-r3 polish item for A4, which "
-    "was previously proven only in pytest",
+    "was previously proven only in pytest. A filtered-to-empty table has no "
+    "tolerance claim to make — exact_nd = 0 rows are filtered BEFORE the "
+    "relative-error divide on both engines (r5 empty-input sweep: the bare "
+    "divide raises DIVIDE_BY_ZERO under ANSI)",
 )
 def agg_approx_distinct_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, events = _t(spark, sf_dir, "orders", "events")
@@ -1046,7 +1050,9 @@ def agg_approx_distinct_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count_distinct(F.col(col)).alias("exact_nd"),
             F.approx_count_distinct(col, rsd=0.02).alias("apx"),
         )
-        return agg.select(
+        # filter precedes the divide so an empty slice (exact_nd = 0)
+        # yields zero rows instead of an ANSI DIVIDE_BY_ZERO
+        return agg.filter(F.col("exact_nd") > 0).select(
             F.lit(col).alias("col_name"),
             F.col("exact_nd").cast("long").alias("exact_nd"),
             (

@@ -481,6 +481,15 @@ def sim_brp_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )
+    if emb.isEmpty():
+        # BucketedRandomProjectionLSH.fit() throws on an empty dataset by
+        # library design (r5 empty-input sweep); return the typed empty
+        # relation so a filtered-to-empty corpus slice doesn't crash
+        return emb.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("vec_id").alias("vec_b"),
+            F.lit(0.0).alias("euclidean_dist"),
+        )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=42
     )

@@ -459,6 +459,16 @@ def text_ml_pipeline_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
+    if docs.isEmpty():
+        # pyspark.ml IDF.fit() throws on an empty dataset by library
+        # design (r5 empty-input sweep); an empty corpus slice returns
+        # the typed empty relation instead of crashing the pipeline
+        return docs.select(
+            "doc_id",
+            F.lit(0).alias("n_kept_tokens"),
+            F.lit(0).alias("n_bigrams"),
+            F.lit(0.0).alias("tfidf_mass"),
+        )
     pipe = Pipeline(
         stages=[
             RegexTokenizer(

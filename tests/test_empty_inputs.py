@@ -7,6 +7,13 @@ r5 found and fixed three crash classes on empty input: parquet schema
 inference with zero data files (stored-IVF read-back, hive-partitioned
 read-back — both now pass explicit schemas, which a 100 TB table wants
 anyway), and PageRank's 1/n seed on an empty node set.
+
+r6 fixed the three crashers the r5 sweep deferred (frozen-window
+discipline): agg_approx_distinct_tolerance filters exact_nd = 0 rows
+before the relative-error divide (ANSI DIVIDE_BY_ZERO), and
+text_ml_pipeline_tfidf / sim_brp_lsh_ml gate pyspark.ml .fit() — which
+throws on empty datasets by library design — behind an isEmpty() check
+returning the typed empty relation.
 """
 
 from __future__ import annotations
@@ -21,6 +28,9 @@ from mapreduce_docker_spark.sources.catalog import TABLES
 # representative spread: the three fixed crashers + one query per major
 # engine family (aggregate, window, LSH, text, event, layout, graph)
 PROBE = [
+    "agg_approx_distinct_tolerance",
+    "text_ml_pipeline_tfidf",
+    "sim_brp_lsh_ml",
     "sim_ann_ivf_stored",
     "layout_partition_pruned_events",
     "graph_pagerank_purchases",
