@@ -184,3 +184,73 @@ def test_cluster_labels_transitive(spark):
     docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 6, 7, 8, 10, 11]], "doc_id long")
     got = {r["doc_id"]: r["cluster_id"] for r in dedup_cluster_labels(pairs, docs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 5, 8: 5, 10: 10, 11: 10}
+
+
+def test_chain_dedup_hand_computed_boundaries(spark, tmp_path):
+    """Hand-computed truth for dedup_chain_within_delay's boundary rules:
+    an event exactly delay after the last kept is DROPPED (strict >), one
+    microsecond later is KEPT, ties on ts keep the min event_id, and the
+    chain resets per (user_id, event_type) key."""
+    H = 3_600_000_000
+    delay = dq.DEDUP_CHAIN_DELAY_US  # 24 h
+    assert delay == 24 * H
+    rows = [
+        # (event_id, us, user_id, event_type)
+        (1, 0 * H, 1, "view"),          # kept: first of key
+        (2, 12 * H, 1, "view"),         # dropped: 12h <= 24h after kept@0
+        (3, 24 * H, 1, "view"),         # dropped: exactly delay, not >
+        (4, 24 * H + 1, 1, "view"),     # kept: 1 µs past the delay
+        (5, 24 * H + 1, 1, "view"),     # dropped: ts tie, higher event_id
+        (6, 49 * H, 1, "view"),         # kept: > 24h+1µs + 24h
+        (7, 1 * H, 1, "click"),         # kept: independent chain per type
+        (8, 2 * H, 2, "view"),          # kept: independent chain per user
+        (9, 20 * H, 2, "view"),         # dropped: 18h after kept@2h
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, us long, user_id long, event_type string"
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id",
+        "event_type",
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    kept = dq.dedup_chain_within_delay(spark, str(tmp_path)).collect()
+    assert sorted(r["event_id"] for r in kept) == [1, 4, 6, 7, 8]
+
+
+def test_chain_dedup_matches_python_reference(spark):
+    """Segment-free reference: replay the fixture's events in (key, ts,
+    event_id) order through a literal Python chain and demand row-identical
+    output — the cross-check that doesn't share the engine's mapInPandas
+    batching or the oracle's recursive-CTE formulation."""
+    from mapreduce_docker_spark.sources.catalog import load_table
+
+    ev = sorted(
+        (
+            (r["user_id"], r["event_type"], r["us"], r["event_id"])
+            for r in load_table(spark, SF_SMOKE, "events")
+            .select(
+                "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+            )
+            .collect()
+        )
+    )
+    want = set()
+    cur, last = None, 0
+    for u, et, us, eid in ev:
+        if (u, et) != cur:
+            cur, last = (u, et), us
+            want.add(eid)
+        elif us > last + dq.DEDUP_CHAIN_DELAY_US:
+            last = us
+            want.add(eid)
+    got = {
+        r["event_id"]
+        for r in dq.dedup_chain_within_delay(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(got) > 0
