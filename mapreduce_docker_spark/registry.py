@@ -131,6 +131,24 @@ def _load_all() -> None:
 # agg_distinct_customers, join_left_customer_orders) plus whatever r7
 # changes. No empty-input fix queue remains: tests/test_empty_inputs.py
 # PROBE covers all six crashers ever found, all fixed.
+# r7 fix queue (found by the r6 truncation sweep, NOT fixed in r6 because
+# the query is outside the frozen window and an engine-path change must
+# rotate in for re-certification):
+#   * layout_zorder_events' day-bucket z-axis uses cast('long') truncation
+#     (layout_queries.py:446) — pre-epoch timestamps truncate toward zero
+#     (48h-wide epoch bucket) and `% (1 << ZORDER_BITS)` on the resulting
+#     negative long stays NEGATIVE in Spark, silently corrupting the
+#     shift/mask bit-packing. Post-epoch fixtures are unaffected (layout
+#     key only — clustering quality, not correctness, at stake). Fix:
+#     F.floor + F.pmod, mirroring the r6 sessionizer floor fix.
+#   * pagerank_ranks (graph_queries.py:296) leaves the per-iteration join
+#     strategy to size estimates. The r6 x64 probe showed the latent
+#     scale risk: replicated/generated relations carry input-sized
+#     estimates, so Catalyst may elect a broadcast whose ACTUAL size is
+#     the multiplier times larger (values unaffected — join strategy
+#     only). At 100 TB neither side of (edges ⋈ ranks) is broadcastable;
+#     make the shuffle join explicit (.hint('shuffle_hash') on the rank
+#     join) and rotate graph_pagerank_purchases in for re-certification.
 _PRIORITY_WINDOW = (
     # canaries (events_sessionize re-certifies the r6 floor-segment fix)
     "wordcount",
