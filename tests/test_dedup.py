@@ -254,3 +254,66 @@ def test_chain_dedup_matches_python_reference(spark):
         for r in dq.dedup_chain_within_delay(spark, SF_SMOKE).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_chain_dedup_invariants_on_seeded_corpus(spark, tmp_path):
+    """Property pins on a seeded adversarial corpus (steps drawn to land
+    exactly on the delay, one µs over, and on duplicate timestamps): for
+    every key the first event is kept, consecutive kept events are
+    strictly more than delay apart, and every dropped event lies within
+    delay of the most recent kept event before it."""
+    import random
+
+    rng = random.Random(20260814)
+    delay = dq.DEDUP_CHAIN_DELAY_US
+    rows = []
+    eid = 0
+    base = 1_704_067_200_000_000
+    for user in range(1, 16):
+        for etype in ("view", "click"):
+            us = base + rng.randrange(0, delay)
+            for _ in range(rng.randrange(3, 40)):
+                eid += 1
+                rows.append((eid, us, user, etype))
+                r = rng.random()
+                if r < 0.2:
+                    step = delay          # exactly delay: dropped
+                elif r < 0.35:
+                    step = delay + 1      # one µs over: kept
+                elif r < 0.45:
+                    step = 0              # duplicate ts: event_id tiebreak
+                else:
+                    step = rng.randrange(1, 2 * delay)
+                us += step
+    df = spark.createDataFrame(
+        rows, "event_id long, us long, user_id long, event_type string"
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id",
+        "event_type",
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    kept = {
+        r["event_id"]
+        for r in dq.dedup_chain_within_delay(spark, str(tmp_path)).collect()
+    }
+    assert kept
+    by_key: dict = {}
+    for eid_, us_, u_, et_ in sorted(rows, key=lambda t: (t[2], t[3], t[1], t[0])):
+        by_key.setdefault((u_, et_), []).append((us_, eid_))
+    for events in by_key.values():
+        kept_times = [us_ for us_, eid_ in events if eid_ in kept]
+        # first event of every key is kept
+        assert events[0][1] in kept
+        # consecutive kept events strictly more than delay apart
+        assert all(b - a > delay for a, b in zip(kept_times, kept_times[1:]))
+        # every dropped event is within delay of the last kept before it
+        last_kept = None
+        for us_, eid_ in events:
+            if eid_ in kept:
+                last_kept = us_
+            else:
+                assert last_kept is not None and us_ <= last_kept + delay

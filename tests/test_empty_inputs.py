@@ -31,6 +31,8 @@ PROBE = [
     "agg_approx_distinct_tolerance",
     "text_ml_pipeline_tfidf",
     "sim_brp_lsh_ml",
+    "dedup_chain_within_delay",
+    "join_aqe_skew_enriched_events",
     "sim_ann_ivf_stored",
     "layout_partition_pruned_events",
     "graph_pagerank_purchases",
