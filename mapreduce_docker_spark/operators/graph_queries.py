@@ -260,6 +260,27 @@ def _symmetrized_purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_step(edges_w: DataFrame, ranks: DataFrame, n: int) -> DataFrame:
+    """One power-iteration round: inflow = edges ⋈ ranks, then groupBy-sum.
+
+    The rank side carries a SHUFFLE_HASH pin — tests/test_graph.py asserts
+    the executed plan shows ShuffledHashJoin and NOT BroadcastHashJoin even
+    when size estimates would elect a broadcast, because those estimates
+    are exactly what the r6 x64 probe measured to be wrong (see
+    pagerank_ranks docstring/comments).
+    """
+    return (
+        edges_w.join(ranks.hint("shuffle_hash"), edges_w["src"] == ranks["v"])
+        .select(F.col("dst").alias("v"), (F.col("rank") / F.col("odeg")).alias("c"))
+        .groupBy("v")
+        .agg(
+            (F.lit((1.0 - PAGERANK_D) / n) + F.lit(PAGERANK_D) * F.sum("c")).alias(
+                "rank"
+            )
+        )
+    )
+
+
 def pagerank_ranks(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
     """Power iteration over a symmetrized (src, dst) edge relation.
 
@@ -273,10 +294,21 @@ def pagerank_ranks(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
     try:
         # fold the (static) out-degree into the edge list ONCE: the loop
         # then pays a single join per iteration instead of two — at any
-        # scale the iteration cost is (edges ⋈ ranks) + one groupBy, period
+        # scale the iteration cost is (edges ⋈ ranks) + one groupBy, period.
+        # Both node-sized relations (out_deg here, ranks below) are pinned
+        # to a SHUFFLE_HASH build: the edge relation often comes out of a
+        # generator/replicator (the bench ladder's explode multiplier, any
+        # exploded adjacency at scale), whose size ESTIMATE is input-sized
+        # while its actual size is multiplier-times larger — the r6 x64
+        # probe measured Catalyst electing an 8.4 GiB "broadcast" off such
+        # an estimate (hard 8 GiB cap) and multi-hundred-MB mis-broadcasts
+        # with 40% run-to-run variance at x16. At 100 TB neither join side
+        # is broadcastable; a shuffled hash join with the node-sized side
+        # as build is the plan that survives, so we say so explicitly
+        # instead of trusting estimates that are provably wrong here.
         out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
         edges_w = (
-            edges.join(out_deg, "src")
+            edges.join(out_deg.hint("shuffle_hash"), "src")
             .select("src", "dst", "odeg")
             .localCheckpoint(eager=True)
         )
@@ -295,17 +327,7 @@ def pagerank_ranks(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
             # inflow aggregate already covers the full vertex set — no
             # re-join against `nodes` to resurrect zero-inflow vertices.
             # Iteration cost: ONE join + ONE groupBy, nothing else.
-            ranks = (
-                edges_w.join(ranks, edges_w["src"] == ranks["v"])
-                .select(F.col("dst").alias("v"), (F.col("rank") / F.col("odeg")).alias("c"))
-                .groupBy("v")
-                .agg(
-                    (
-                        F.lit((1.0 - PAGERANK_D) / n)
-                        + F.lit(PAGERANK_D) * F.sum("c")
-                    ).alias("rank")
-                )
-            )
+            ranks = _pagerank_step(edges_w, ranks, n)
             if (i + 1) % 3 == 0:
                 ranks = ranks.localCheckpoint(eager=True)
         ranks = ranks.localCheckpoint(eager=True)

@@ -394,6 +394,25 @@ def q_merge_upsert_orders_incremental(spark: SparkSession, sf_dir: str) -> DataF
 
 
 ZORDER_BITS = 16
+_DAY_US = 86_400_000_000
+
+
+def zorder_day_bucket(ts_col, bits: int = ZORDER_BITS):
+    """Epoch-day z-axis bucket of a timestamp column: floor + pmod (NOT
+    cast-truncate + signed %). cast('long') on true division truncates
+    toward zero, collapsing (-24h, 24h) into one 48h-wide bucket at the
+    epoch, and Spark's % keeps the dividend's sign, so a pre-epoch day
+    index fed a NEGATIVE long into the shift/mask interleave and silently
+    corrupted the Morton code (r6 truncation-sweep finding; layout key
+    only — read-back values were never affected). floor keeps 24 h buckets
+    exact on both sides of the epoch and pmod keeps the interleave input
+    in [0, 2^bits). Same fix pattern as the r6 sessionizer day segment
+    (funnel_queries.py); pre-epoch crafted truth in
+    tests/test_layout_queries.py."""
+    return F.pmod(
+        F.floor(F.unix_micros(ts_col) / F.lit(_DAY_US)).cast("long"),
+        F.lit(1 << bits),
+    )
 
 
 def zorder_value(a, b, bits: int = ZORDER_BITS):
@@ -439,12 +458,14 @@ def zorder_value(a, b, bits: int = ZORDER_BITS):
     ),
 )
 def q_layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    digest = fixture_digest(sf_dir, "events")
+    # the staged layout is keyed by (kind, fixture digest); "v2" marks the
+    # r7 floor/pmod day-bucket fix so pre-fix staged layouts can't be
+    # silently reused — bump it whenever the z expression changes
+    digest = fixture_digest(sf_dir, "events") + "-zv2"
     ev = load_table(spark, sf_dir, "events")
     z = zorder_value(
-        F.col("user_id") % F.lit(1 << ZORDER_BITS),
-        (F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast("long")
-        % F.lit(1 << ZORDER_BITS),
+        F.pmod(F.col("user_id"), F.lit(1 << ZORDER_BITS)),
+        zorder_day_bucket(F.col("ts")),
     )
 
     def write(path: str) -> None:

@@ -109,3 +109,39 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     # ranks are a probability distribution over the graph (top-20 is a
     # subset, so only bound it)
     assert 0 < sum(r) < 1.0 + 1e-9
+
+
+def test_pagerank_step_pins_shuffle_hash_join(spark):
+    """The per-iteration rank join must be a ShuffledHashJoin, NOT a
+    broadcast, even when size estimates scream "broadcast me": the r6 x64
+    probe measured Catalyst electing an 8.4 GiB broadcast off an
+    input-sized estimate of a replicated edge relation (SCALING.md). Tiny
+    inputs here sit far below the default 10 MB auto-broadcast threshold,
+    so ONLY the shuffle_hash pin keeps the broadcast out of the executed
+    plan — exactly the condition that matters at 100 TB, where neither
+    side of (edges ⋈ ranks) fits in any executor."""
+    from mapreduce_docker_spark.operators.graph_queries import _pagerank_step
+
+    edges_w = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 2), ("b", "c", 2), ("c", "b", 1)],
+        "src string, dst string, odeg long",
+    )
+    ranks = spark.createDataFrame(
+        [("a", 1 / 3), ("b", 1 / 3), ("c", 1 / 3)], "v string, rank double"
+    )
+    df = _pagerank_step(edges_w, ranks, 3)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan[:800]
+    assert "BroadcastHashJoin" not in plan, plan[:800]
+    # and the pinned join strategy changes strategy only, never values
+    got = {r["v"]: r["rank"] for r in df.collect()}
+    d = 0.85
+    expect = {
+        "a": 0.15 / 3 + d * ((1 / 3) / 2),
+        "b": 0.15 / 3 + d * ((1 / 3) / 1 + (1 / 3) / 1),
+        "c": 0.15 / 3 + d * ((1 / 3) / 2),
+    }
+    assert got.keys() == expect.keys()
+    for v, rank in expect.items():
+        assert abs(got[v] - rank) < 1e-12

@@ -233,3 +233,50 @@ def test_staged_layouts_key_on_fixture_content(tmp_path, spark):
     assert d2 != d1
     n = q_layout_partition_pruned_events(spark, src).agg(F.sum("n_events")).first()[0]
     assert n == ev.count()
+
+
+def test_zorder_day_bucket_pre_epoch_exact_24h_buckets(spark):
+    """Pre-epoch crafted truth for the r7 floor/pmod fix (r6 truncation-
+    sweep finding): the day z-axis must keep EXACT 24 h buckets across the
+    epoch and feed only non-negative values into the bit interleave.
+    The pre-fix expression — ``(us / day).cast('long') % 2^16`` — truncated
+    toward zero (collapsing (-24h, 24h) into one 48h bucket) and kept the
+    dividend's sign through %, corrupting the shift/mask Morton packing."""
+    from mapreduce_docker_spark.operators.layout_queries import (
+        ZORDER_BITS,
+        zorder_day_bucket,
+        zorder_value,
+    )
+
+    day = 86_400_000_000
+    m = 1 << ZORDER_BITS
+    # (micros, hand-computed floor-day bucket)
+    truth = [
+        (-2 * day, m - 2),        # exactly -48 h: day -2
+        (-day - 1, m - 2),        # one µs before -24 h: still day -2
+        (-day, m - 1),            # exactly -24 h: day -1 starts
+        (-1, m - 1),              # one µs before the epoch: day -1 ends
+        (0, 0),                   # the epoch: day 0 starts
+        (day - 1, 0),             # one µs before +24 h: still day 0
+        (day, 1),                 # exactly +24 h: day 1
+        (m * day, 0),             # bucket wrap: day 2^16 → pmod 0
+        (-(m + 1) * day, m - 1),  # deep pre-epoch wrap: day -(2^16+1) → 2^16-1
+    ]
+    df = spark.createDataFrame([(us,) for us, _ in truth], "us long").select(
+        "us",
+        zorder_day_bucket(F.timestamp_micros(F.col("us"))).alias("bucket"),
+        zorder_value(
+            F.lit(0).cast("long"),
+            zorder_day_bucket(F.timestamp_micros(F.col("us"))),
+        ).alias("z"),
+    )
+    got = {r["us"]: (r["bucket"], r["z"]) for r in df.collect()}
+    for us, want in truth:
+        bucket, z = got[us]
+        assert bucket == want, (us, bucket, want)
+        # non-negative interleave inputs -> non-negative Morton code; with
+        # axis a = 0 the code is exactly the bucket's bits spread to odd
+        # positions, so recompute it bit-by-bit as an independent truth
+        assert 0 <= bucket < m
+        spread = sum(((want >> i) & 1) << (2 * i + 1) for i in range(ZORDER_BITS))
+        assert z == spread, (us, z, spread)
