@@ -98,113 +98,105 @@ def _load_all() -> None:
 # against the DuckDB oracle. Cumulative coverage: r1+r2 hand-picked 89
 # queries; r3 rotated onto the then-45 never-checked; r4 covered the
 # reference-parity stragglers + r4-new queries; r5 cleared the entire
-# backlog (204/204 queries driver-checked, 181/181 oracles proven, zero
-# wrong answers ever). With the backlog at zero, round 6 executes the r5
-# verdict's rotation policy: window slots buy RE-PROOF UNDER DRIFT.
-#   * 5 standing canaries — events_sessionize doubles as re-certification
-#     of an r6 engine-path change (exact-floor 24 h segmentation, the
-#     judge-r5 ADVICE fix; pre-epoch crafted truth in tests/test_funnel.py);
-#   * 3 r6 engine-path changes: the empty-input crashers fixed this round
-#     (agg_approx_distinct_tolerance now filters exact_nd = 0 before the
-#     relative-error divide ON BOTH ENGINES; text_ml_pipeline_tfidf and
-#     sim_brp_lsh_ml gate pyspark.ml .fit() behind isEmpty() — both
-#     rows-only by contract, their slots re-prove the non-empty path);
-#   * 2 r6-new queries, registered BEFORE this window froze (the r5 "no
-#     late registration" rule): join_aqe_skew_enriched_events (AQE
-#     skew-split demo, full oracle, plan pinned skew=true in
-#     tests/test_skew.py) and dedup_chain_within_delay (batch twin of
-#     dropDuplicatesWithinWatermark chain semantics, recursive-CTE oracle,
-#     crafted-truth-pinned in tests/test_dedup.py);
-#   * 40 freshness slots on the oldest cumulative greens — every remaining
-#     name was last driver-checked in r1 (33 slots) or r2 (7 slots: the
-#     judge-named q2/q17/events_tumbling_10m/sim_cosine_topk/sim_ann_srp/
-#     udf_pandas_saturation/sql_interface_revenue_by_nation).
-# 5 + 3 + 2 + 40 = 50. Still stale after this window (rotate r7): the 27
-# remaining r2-era greens (agg_approx_distinct_users, agg_cube/grouping/
-# pivot/percentiles/stats families, array_embedding_stats, array_hof,
-# dedup_exact_groups/survivors, dedup_simhash, distinct_customer_status_
-# pairs, join_anti/left/semi/theta/cross-grid/full-outer stragglers not
-# taken below, json_event_props, json_variant_events, map_hof_event_props,
-# q12/q13/q14/q18(r1-taken)/..., scalar_datetime/interval, sketch_cms,
-# text_pii_scrub, text_token_stats, topk_orders_by_price, udf_udtf_bigrams,
-# window_distribution_ranks/event_gaps, wordcount_total_tokens/_unique,
-# agg_distinct_customers, join_left_customer_orders) plus whatever r7
-# changes. No empty-input fix queue remains: tests/test_empty_inputs.py
-# PROBE covers all six crashers ever found, all fixed.
-# r7 fix queue (found by the r6 truncation sweep, NOT fixed in r6 because
-# the query is outside the frozen window and an engine-path change must
-# rotate in for re-certification):
-#   * layout_zorder_events' day-bucket z-axis uses cast('long') truncation
-#     (layout_queries.py:446) — pre-epoch timestamps truncate toward zero
-#     (48h-wide epoch bucket) and `% (1 << ZORDER_BITS)` on the resulting
-#     negative long stays NEGATIVE in Spark, silently corrupting the
-#     shift/mask bit-packing. Post-epoch fixtures are unaffected (layout
-#     key only — clustering quality, not correctness, at stake). Fix:
-#     F.floor + F.pmod, mirroring the r6 sessionizer floor fix.
-#   * pagerank_ranks (graph_queries.py:296) leaves the per-iteration join
-#     strategy to size estimates. The r6 x64 probe showed the latent
-#     scale risk: replicated/generated relations carry input-sized
-#     estimates, so Catalyst may elect a broadcast whose ACTUAL size is
-#     the multiplier times larger (values unaffected — join strategy
-#     only). At 100 TB neither side of (edges ⋈ ranks) is broadcastable;
-#     make the shuffle join explicit (.hint('shuffle_hash') on the rank
-#     join) and rotate graph_pagerank_purchases in for re-certification.
+# backlog; r6 re-proved 50 of the oldest greens + 2 new queries (206/206
+# queries driver-checked cumulatively, 183/183 oracles proven, zero wrong
+# answers ever). Round 7 continues the freshness rotation, with the stale
+# list REGENERATED from CORRECTNESS_r01..r06 (judge-r6 ADVICE: the r6
+# hand-maintained note drifted — it listed names the r6 window had in fact
+# taken; tools/stale_report.py now derives the list from the recorded
+# verdicts, never by hand):
+#   * 5 standing canaries (wordcount, q1, dedup_minhash_pairs,
+#     window_running_spend, events_sessionize);
+#   * 2 r7 engine-path changes rotating in for re-certification, both
+#     queued by the r6 note below (executed exactly as written):
+#     graph_pagerank_purchases (both node-sized joins now pinned
+#     .hint('shuffle_hash'); executed-plan assertion in tests/test_graph.py)
+#     and layout_zorder_events (day bucket now F.floor + F.pmod; pre-epoch
+#     crafted truth in tests/test_layout_queries.py, staged-layout key
+#     bumped to -zv2 so pre-fix layouts cannot be silently reused);
+#   * 27 freshness slots = EVERY remaining r1/r2-era green (regenerated
+#     list; nothing older than r3 remains after this window);
+#   * 16 freshness slots on the oldest r3-era greens, full-oracle names
+#     first (the 10 heavy TPC-H stragglers q7-q11/q15/q16/q19-q21, then
+#     agg_unpivot, minhash signatures, simhash buckets, bigrams, the
+#     pandas UDAF, quality score).
+# 5 + 2 + 27 + 16 = 50. NO new queries this round needed a slot:
+# dedup_chain_within_delay's queued vectorization was MEASURED
+# unnecessary (the per-row scan runs at ~2.0M rows/s/core; the x64 ladder
+# is exchange+sort-bound at ~7.2s of 7.9s total, and a numpy anchor-sweep
+# prototype was row-identical but no faster on the fixture's run shape —
+# SCALING.md "chain-dedup scan throughput"), so its engine path is
+# UNCHANGED from its r6 driver-green and it needs no re-certification.
+# Still stale after this window (rotate r8): the 24 remaining r3-era
+# greens — agg_approx_percentiles, agg_collect_order_keys_array,
+# agg_hll_sketch_union_users, dedup_jaccard_sample, events_sliding_10m_5m,
+# json_map_entries, multimodal_frame_stats, profile_orders_columns,
+# profile_orders_columns_approx, sample_events_bernoulli,
+# sim_label_cohesion, sketch_cms_counters, streaming_dedup_within_watermark,
+# streaming_foreachbatch_sink, streaming_session_windows,
+# streaming_stateful_user_counts, streaming_stream_stream_join,
+# streaming_tumbling_counts, streaming_wordcount, text_chunk_windows,
+# text_fingerprint, text_lang_source_rollup, text_repetition_filter,
+# text_symspell_vocab_pairs — plus whatever r7 changes. Regenerate with
+# tools/stale_report.py, do not hand-edit.
+# r8 fix queue: EMPTY. Both r6-queued fixes landed and rotate in below;
+# no empty-input fix queue remains (tests/test_empty_inputs.py PROBE
+# covers all six crashers ever found, all fixed).
 _PRIORITY_WINDOW = (
-    # canaries (events_sessionize re-certifies the r6 floor-segment fix)
+    # --- standing canaries ---
     "wordcount",
     "q1_pricing_summary",
     "dedup_minhash_pairs",
     "window_running_spend",
     "events_sessionize",
-    # --- r6 engine-path changes: the fixed empty-input crashers ---
-    "agg_approx_distinct_tolerance",
-    "text_ml_pipeline_tfidf",
-    "sim_brp_lsh_ml",
-    # --- r6-new queries (registered before the window froze) ---
-    "join_aqe_skew_enriched_events",
-    "dedup_chain_within_delay",
-    # --- freshness: last driver-checked r1 ---
-    "agg_cube_status_priority",
-    "agg_grouping_sets_status_priority",
-    "agg_rollup_region_nation",
-    "agg_stats_by_segment",
-    "array_embedding_stats",
-    "distinct_customer_status_pairs",
-    "join_anti_orderless_customers",
-    "join_cross_region_priority_grid",
-    "join_full_outer_balances",
-    "join_region_order_stats",
-    "q12_shipmode_priority",
-    "q14_promo_revenue_share",
-    "q18_large_orders",
-    "q22_global_sales_opportunity",
-    "q4_order_priority_check",
-    "q6_forecast_revenue",
-    "scalar_date_orders",
-    "scalar_levenshtein_nations",
-    "scalar_math_lineitem",
-    "scalar_null_semantics",
-    "scalar_string_customer",
-    "scalar_string_part",
-    "setop_except_statuses",
-    "setop_exceptall_priorities",
-    "setop_intersect_statuses",
-    "setop_union_by_name",
-    "setop_union_segments",
-    "window_first_last_orders",
-    "window_ntile_balance_quartiles",
-    "window_range_price_band",
-    "window_top3_orders_per_customer",
-    "wordcount_strict_top20",
-    "wordcount_top20",
-    # --- freshness: last driver-checked r2 (judge-named in VERDICT r5) ---
-    "q2_min_cost_supplier",
-    "q17_small_quantity_revenue",
-    "events_tumbling_10m",
-    "sim_cosine_topk",
-    "sim_ann_srp",
-    "udf_pandas_saturation",
-    "sql_interface_revenue_by_nation",
+    # --- r7 engine-path changes (the r6 fix queue, re-certifying) ---
+    "graph_pagerank_purchases",
+    "layout_zorder_events",
+    # --- freshness: every remaining r1/r2-era green (regenerated list) ---
+    "agg_approx_distinct_users",
+    "agg_distinct_customers",
+    "agg_percentiles_by_segment",
+    "agg_pivot_status_by_segment",
+    "agg_stats_quantity_price",
+    "array_hof_embeddings",
+    "dedup_exact_groups",
+    "dedup_exact_survivors",
+    "dedup_simhash",
+    "join_left_customer_orders",
+    "join_semi_urgent_customers",
+    "join_theta_acctbal_band",
+    "json_event_props",
+    "json_variant_events",
+    "map_hof_event_props",
+    "q13_customer_distribution",
+    "scalar_datetime_events",
+    "scalar_interval_orders",
+    "sketch_cms_heavy_hitters",
+    "text_pii_scrub",
+    "text_token_stats",
+    "topk_orders_by_price",
+    "udf_udtf_bigrams",
+    "window_distribution_ranks",
+    "window_event_gaps",
+    "wordcount_total_tokens",
+    "wordcount_unique",
+    # --- freshness: oldest r3-era greens, full-oracle first ---
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_item_losses",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q19_discounted_revenue",
+    "q20_potential_part_promotion",
+    "q21_waiting_suppliers",
+    "agg_unpivot_balances",
+    "dedup_minhash_signatures",
+    "dedup_simhash_buckets",
+    "text_bigrams_top30",
+    "udf_pandas_udaf_geomean",
+    "text_quality_score",
 )
 
 
