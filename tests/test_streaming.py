@@ -366,3 +366,98 @@ def test_streaming_sessionize_state_spans_micro_batches(spark, tmp_path):
     r = rows[0]
     assert (r["user_id"], r["session_idx"], r["n_events"]) == (1, 1, 3)
     assert (r["start_us"], r["end_us"]) == (0, 2 * hour)
+
+
+def test_native_dedup_within_watermark_matches_chain_twin(spark, tmp_path):
+    """Crafted-truth pin of the NATIVE dropDuplicatesWithinWatermark against
+    the oracle-proven batch twin dedup_chain_within_delay (VERDICT r6 #8).
+
+    General-fixture parity is IMPOSSIBLE by construction: the native op
+    re-keeps a key only after the WATERMARK (which lags the newest event
+    by the delay, quantized to micro-batch boundaries) passes the kept
+    event's expiry, so it behaves like the chain rule with an effective
+    re-keep horizon of up to 2x the delay. This sequence is crafted so the
+    two semantics coincide — every re-keep gap exceeds 2x the 24 h delay
+    (with a watermark-pushing third key in between) and every duplicate
+    gap sits inside the delay — making the kept set identical under both
+    rules AND under either last-kept / extend-on-duplicate state variants.
+    One file per event + maxFilesPerTrigger=1 makes the batching, and
+    therefore the watermark schedule, deterministic. Measured lag detail:
+    the watermark operative in batch N reflects event times through batch
+    N-2 (the N-1 update commits one trigger later), so each re-keep is
+    preceded by TWO watermark-pushing batches.
+    """
+    import os
+
+    from mapreduce_docker_spark.operators.dedup_queries import (
+        dedup_chain_within_delay,
+    )
+
+    hour = 3_600_000_000
+    base = 1_709_251_200_000_000  # 2024-03-01 00:00:00 UTC, µs
+    # (event_id, user_id, event_type, hours-offset)
+    seq = [
+        (1, 1, "click", 0),    # keep: first for (1, click)
+        (2, 2, "view", 5),     # keep: first for (2, view)
+        (3, 1, "click", 10),   # drop: 10h after kept t0 (< 24h)
+        (4, 3, "wm", 60),      # keep; pushes the watermark to 36h
+        (5, 3, "wm", 61),      # drop for (3, wm); commits the 36h watermark
+        (6, 1, "click", 80),   # keep: 80h > 0h + 24h (chain) / wm 36h > expiry 24h
+        (7, 1, "click", 90),   # drop: 10h after kept t80 (< 24h)
+        (8, 2, "view", 100),   # keep: 95h since kept t5 (> 24h; wm 37h+ > expiry 29h)
+    ]
+    kept_truth = {1, 2, 4, 6, 8}
+
+    def mk_df(rows):
+        return spark.createDataFrame(
+            [(e, u, t, h) for e, u, t, h in rows],
+            "event_id long, user_id long, event_type string, h long",
+        ).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.timestamp_micros(F.lit(base) + F.col("h") * F.lit(hour)).alias("ts"),
+        )
+
+    # --- batch twin over a staged mini fixture dir ---
+    sf_dir = tmp_path / "sf_crafted"
+    mk_df(seq).coalesce(1).write.parquet(str(sf_dir / "events.parquet"))
+    twin = dedup_chain_within_delay(spark, str(sf_dir))
+    twin_kept = {r["event_id"] for r in twin.collect()}
+    assert twin_kept == kept_truth, twin_kept
+
+    # --- native streaming op, one event per micro-batch in time order ---
+    d = tmp_path / "stream_in"
+    for i, row in enumerate(seq):
+        sub = d / f"f{i:02d}"
+        mk_df([row]).coalesce(1).write.parquet(str(sub))
+        mt = 1_000_000 + i * 1_000
+        for root, _, files in os.walk(str(sub)):
+            for f in files:
+                os.utime(os.path.join(root, f), (mt, mt))
+        os.utime(str(sub), (mt, mt))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*"))
+    )
+    deduped = stream.withWatermark("ts", "24 hours").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_native_chain")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    native = spark.table("t_native_chain").collect()
+    native_kept = {r["event_id"] for r in native}
+    assert native_kept == twin_kept == kept_truth, (native_kept, twin_kept)
+    # full-row parity, not just ids
+    assert sorted(
+        (r["event_id"], r["user_id"], r["event_type"], r["ts"]) for r in native
+    ) == sorted(tuple(r) for r in twin.collect())
