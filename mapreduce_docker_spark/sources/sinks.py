@@ -35,16 +35,25 @@ def write_bucketed(
     bucket_col: str,
     n_buckets: int = 8,
     sort_col: str | None = None,
+    path: str | None = None,
 ) -> None:
-    """Save as a bucketed (optionally sorted) managed table.
+    """Save as a bucketed (optionally sorted) table.
 
     ``n_buckets`` should be sized so one bucket of the LARGER table fits an
     executor's memory at target scale; both join sides must use the same
     column and count for the exchange-free plan.
+
+    With ``path`` the table is EXTERNAL: dropping it keeps the files, whose
+    names carry the bucket id (``..._00003.parquet``), so a later session
+    can re-register a bucketed table over the same directory without
+    rewriting — the basis of the race-free digest-keyed staging in
+    operators/layout_queries.py.
     """
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col:
         w = w.sortBy(sort_col)
+    if path is not None:
+        w = w.option("path", path)
     w.saveAsTable(table)
 
 
