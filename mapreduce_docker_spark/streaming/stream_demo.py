@@ -124,6 +124,44 @@ def run_dedup_within_watermark_stream(
     return spark.table(query_name)
 
 
+def run_dedup_native_keys_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "dedup_native_keys"
+) -> DataFrame:
+    """Native ``dropDuplicatesWithinWatermark`` with a delay wider than the
+    fixture's time span, projected to the key columns — the ORACLE-carrying
+    end-to-end drive of the native op.
+
+    Why this is deterministic where the 1h variant is rows-only: with
+    ``delay > max(ts) - min(ts)`` no key's state can expire inside the run
+    (watermark = max(ts) - delay < every expiry = first_ts + delay), so
+    REGARDLESS of how availableNow splits micro-batches the op emits
+    exactly one row per distinct key — the first arrival. WHICH event
+    survives still depends on arrival order, so the projection keeps only
+    (user_id, event_type): that set equals ``SELECT DISTINCT user_id,
+    event_type FROM events`` exactly, a full DuckDB oracle for the native
+    operator. The production-shaped 1h-delay variant
+    (run_dedup_within_watermark_stream) stays rows-only by contract;
+    tests/test_streaming.py additionally pins the native op's
+    watermark-expiry behavior against the oracle-proven batch chain twin
+    on a crafted sequence.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 _STATE_SCHEMA = "n bigint"
 _OUT_SCHEMA = "user_id bigint, n_events bigint"
 

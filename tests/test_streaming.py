@@ -461,3 +461,59 @@ def test_native_dedup_within_watermark_matches_chain_twin(spark, tmp_path):
     assert sorted(
         (r["event_id"], r["user_id"], r["event_type"], r["ts"]) for r in native
     ) == sorted(tuple(r) for r in twin.collect())
+
+
+def test_native_keys_dedup_one_emission_per_key_across_batches(spark, tmp_path):
+    """Pin of the streaming_dedup_native_keys determinism claim: with a
+    watermark delay wider than the data's time span, the native
+    dropDuplicatesWithinWatermark emits each key EXACTLY ONCE no matter
+    how the stream is micro-batched — no key state can expire mid-run, so
+    a duplicate arriving many batches later still hits live state. Three
+    files with overlapping keys, maxFilesPerTrigger=1 (three batches),
+    deliberately feeding the same keys in every batch."""
+    import datetime as _dt
+    import os
+
+    rows_by_file = [
+        [(1, "click"), (1, "view"), (2, "click")],
+        [(1, "click"), (2, "click"), (3, "view")],  # all dups or new
+        [(1, "view"), (3, "view"), (3, "click")],
+    ]
+    base = _dt.datetime(2024, 3, 1)
+    d = tmp_path / "stream_in"
+    for i, rows in enumerate(rows_by_file):
+        df = spark.createDataFrame(
+            [
+                (uid, et, base + _dt.timedelta(days=i, minutes=j))
+                for j, (uid, et) in enumerate(rows)
+            ],
+            "user_id long, event_type string, ts timestamp",
+        )
+        sub = d / f"f{i:02d}"
+        df.coalesce(1).write.parquet(str(sub))
+        mt = 1_000_000 + i * 1_000
+        for root, _, files in os.walk(str(sub)):
+            for f in files:
+                os.utime(os.path.join(root, f), (mt, mt))
+        os.utime(str(sub), (mt, mt))
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*"))
+    )
+    deduped = (
+        stream.withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_native_keys")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(tuple(r) for r in spark.table("t_native_keys").collect())
+    want = sorted({kv for rows in rows_by_file for kv in rows})
+    assert got == [tuple(kv) for kv in want], (got, want)
