@@ -136,7 +136,19 @@ def _load_all() -> None:
 # 5 + 1 + 2 + 1 + 23 + 18 = 50. Still stale after this window (rotate
 # r9): the 26 remaining r4-era names, then the r5-era cohort behind them
 # — regenerate with tools/stale_report.py, do not hand-edit.
-# r9 fix queue: EMPTY.
+# r9 fix queue: ONE item, found while fixing the bucketed race (r8):
+#   * _write_once (layout_queries.py) writes to a SHARED tmp path
+#     (out + ".tmp") — two cold processes racing the same digest both
+#     write into that tmp dir (mode=overwrite, so the second wipes the
+#     first mid-write) before the rmtree+replace promote. Harden with the
+#     exact _stage_bucketed_once protocol: process-unique tmp nonce +
+#     try os.replace / on ENOTEMPTY check winner's _SUCCESS and discard.
+#     Engine path of every _write_once-backed layout query
+#     (layout_partition_pruned_events, docs_ndjson_roundtrip,
+#     events_orc_roundtrip, merge_upsert_orders*, layout_zorder_events)
+#     — all but zorder are OUTSIDE the r8 window, hence queued, not
+#     changed mid-round; they are r5-era stale and rotate into r9
+#     naturally for re-certification.
 _PRIORITY_WINDOW = (
     # --- standing canaries ---
     "wordcount",

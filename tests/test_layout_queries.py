@@ -322,21 +322,18 @@ def test_bucketed_staging_safe_across_concurrent_processes(tmp_path):
     vanilla_gate concurrently. The r8 staging uses the ``_write_once``
     tmp + _SUCCESS + atomic os.replace discipline, so two cold processes
     racing to stage the same digest must BOTH succeed and agree. This test
-    clears the staged dirs and runs two bare-session subprocesses
-    concurrently."""
-    import glob as _glob
-    import shutil
+    runs two bare-session subprocesses concurrently against a PRIVATE
+    staging root (TMPDIR override — _staging_dir honors it), so both start
+    cold and race the stage step without touching the shared /tmp staged
+    dirs. Deleting the shared dirs instead would violate the engine's
+    content-addressed-immutability invariant (a promoted digest dir is
+    never deleted) and broke the suite's own session, whose registered
+    external table cached the old file listing."""
     import subprocess
     import sys as _sys
-    import tempfile as _tempfile
 
-    from mapreduce_docker_spark.sources.catalog import fixture_digest
-
-    digest = fixture_digest(SF, "orders") + fixture_digest(SF, "customer")
-    for d in _glob.glob(
-        os.path.join(_tempfile.gettempdir(), f"mds_bkt_*_{digest}*")
-    ):
-        shutil.rmtree(d, ignore_errors=True)
+    env = dict(os.environ, TMPDIR=str(tmp_path / "stage"))
+    (tmp_path / "stage").mkdir()
 
     script = r"""
 import json, sys
@@ -365,6 +362,7 @@ spark.stop()
             stderr=subprocess.PIPE,
             text=True,
             cwd=str(tmp_path),
+            env=env,
         )
         for _ in range(2)
     ]
