@@ -510,7 +510,7 @@ CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
     idx AS (
       SELECT doc_id, toks,
              unnest(generate_series(0,
-               CAST(floor(greatest(len(toks) - {CHUNK_TOKENS}, 0) / {CHUNK_STRIDE}.0)
+               CAST(ceil(greatest(len(toks) - {CHUNK_TOKENS}, 0) / {CHUNK_STRIDE}.0)
                     AS INTEGER))) AS chunk_idx
       FROM d WHERE len(toks) > 0
     )
@@ -523,7 +523,7 @@ CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
     FROM idx
     """,
     section="U4,U6",
-    note=f"LLM-prep document chunking: {CHUNK_TOKENS}-token windows, stride {CHUNK_STRIDE} (overlap {CHUNK_TOKENS - CHUNK_STRIDE}); pure slice arithmetic, no Python — every doc yields ceil((len-W)/S)+1 chunks, final chunk ragged",
+    note=f"LLM-prep document chunking: {CHUNK_TOKENS}-token windows, stride {CHUNK_STRIDE} (overlap {CHUNK_TOKENS - CHUNK_STRIDE}); pure slice arithmetic, no Python — every doc yields ceil(max(len-W,0)/S)+1 chunks so EVERY token is covered, final chunk ragged (r8 fix: the pre-r8 floor form dropped up to S-1 trailing tokens whenever (len-W) mod S != 0, contradicting this note; hand-computed boundary truths in tests/test_crafted_truth15.py)",
 )
 def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
@@ -531,7 +531,9 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n")).filter(
         F.col("n") > 0
     )
-    n_chunks = F.floor(
+    # ceil, NOT floor: the last window starts at the smallest multiple of
+    # STRIDE that still reaches the final token, so no tail is ever dropped
+    n_chunks = F.ceil(
         F.greatest(F.col("n") - F.lit(CHUNK_TOKENS), F.lit(0))
         / F.lit(float(CHUNK_STRIDE))
     ).cast("int")

@@ -127,7 +127,15 @@ def _load_all() -> None:
 #     (delay wider than the fixture span ⇒ the emitted key set provably
 #     equals SELECT DISTINCT user_id, event_type);
 #   * 23 freshness slots = EVERY r3-era name from stale_report (nothing
-#     older than r4 remains after this window);
+#     older than r4 remains after this window). One of them,
+#     text_chunk_windows, additionally re-certifies an in-round engine
+#     fix (allowed: it IS in the window): the chunker computed floor
+#     where its own contract said ceil, silently dropping up to
+#     STRIDE-1 trailing tokens per doc whenever (len-W) mod S != 0 —
+#     caught by the r8 crafted-truth sweep (the oracle agreed with the
+#     bug because the SQL encoded the same floor; the
+#     both-engines-share-a-misunderstanding class). Spark and oracle
+#     both fixed to ceil; boundary truths in tests/test_crafted_truth15;
 #   * 18 freshness slots = the alphabetically-first r4-era names from
 #     stale_report (all full-oracle greens, including every family the
 #     judge named: dedup_minhash/embedding, asof_purchase_prior_view,
