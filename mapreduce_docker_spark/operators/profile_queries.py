@@ -268,8 +268,9 @@ HIST_BUCKETS = 10
       SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
     ),
     b AS (
-      SELECT CAST(least(floor((o_totalprice - s.mn) / (s.mx - s.mn) * {HIST_BUCKETS}.0),
-                        {HIST_BUCKETS - 1}) AS BIGINT) AS bucket_idx,
+      SELECT CAST(CASE WHEN s.mx = s.mn THEN 0
+                       ELSE least(floor((o_totalprice - s.mn) / (s.mx - s.mn) * {HIST_BUCKETS}.0),
+                                  {HIST_BUCKETS - 1}) END AS BIGINT) AS bucket_idx,
              s.mn, s.mx
       FROM orders CROSS JOIN s
     )
@@ -283,8 +284,10 @@ HIST_BUCKETS = 10
     note=f"equi-width {HIST_BUCKETS}-bucket histogram of o_totalprice: "
     "min/max from one aggregation broadcast as a 1-row relation (never a "
     "driver round-trip), bucket index by pure IEEE arithmetic identical "
-    "on both engines (max pinned into the top bucket), counts partial-"
-    "aggregated — two scans total, shuffle is bytes",
+    "on both engines (max pinned into the top bucket; min==max guarded to "
+    "one point bucket — unguarded it throws DIVIDE_BY_ZERO under ANSI, r8 "
+    "crafted-truth find), counts partial-aggregated — two scans total, "
+    "shuffle is bytes",
 )
 def agg_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_docker_spark.functions.rounding import dround
@@ -293,13 +296,20 @@ def agg_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = orders.agg(
         F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
     )
-    idx = F.least(
-        F.floor(
-            (F.col("o_totalprice") - F.col("mn"))
-            / (F.col("mx") - F.col("mn"))
-            * F.lit(float(HIST_BUCKETS))
-        ),
-        F.lit(HIST_BUCKETS - 1),
+    # guard the min==max degenerate EXPLICITLY: under ANSI mode (Spark 4
+    # default, on in this session) the unguarded (x-mn)/(mx-mn) THROWS
+    # DIVIDE_BY_ZERO on a constant column — caught by the r8 crafted-truth
+    # sweep (tests/test_crafted_truth16.py); a constant slice is routine at
+    # scale, so the histogram collapses to one point bucket instead
+    idx = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * F.lit(float(HIST_BUCKETS))
+            ),
+            F.lit(HIST_BUCKETS - 1),
+        )
     ).cast("long")
     width = (F.any_value("mx") - F.any_value("mn")) / F.lit(float(HIST_BUCKETS))
     return (

@@ -140,11 +140,16 @@ def _load_all() -> None:
 #     stale_report (all full-oracle greens, including every family the
 #     judge named: dedup_minhash/embedding, asof_purchase_prior_view,
 #     events_funnel_conversion, dq_constraint_checks,
-#     bootstrap_zip_wordcount).
+#     bootstrap_zip_wordcount). One of them, agg_histogram_totalprice,
+#     additionally re-certifies an in-round fix (allowed: in-window):
+#     the unguarded (x-mn)/(mx-mn) bucket expression THREW
+#     DIVIDE_BY_ZERO under ANSI mode on a constant column (min==max) —
+#     second r8 crafted-truth find; both engines now collapse the
+#     degenerate to one point bucket (tests/test_crafted_truth16).
 # 5 + 1 + 2 + 1 + 23 + 18 = 50. Still stale after this window (rotate
 # r9): the 26 remaining r4-era names, then the r5-era cohort behind them
 # — regenerate with tools/stale_report.py, do not hand-edit.
-# r9 fix queue: ONE item, found while fixing the bucketed race (r8):
+# r9 fix queue: TWO items.
 #   * _write_once (layout_queries.py) writes to a SHARED tmp path
 #     (out + ".tmp") — two cold processes racing the same digest both
 #     write into that tmp dir (mode=overwrite, so the second wipes the
@@ -157,6 +162,22 @@ def _load_all() -> None:
 #     — all but zorder are OUTSIDE the r8 window, hence queued, not
 #     changed mid-round; they are r5-era stale and rotate into r9
 #     naturally for re-certification.
+#   * _unit_vectors zero-norm ANSI crash (similarity_queries.py:588-600
+#     and the inline normalizations at :214, :324, :550): a zero embedding
+#     makes x / sqrt(0) THROW DIVIDE_BY_ZERO under ANSI mode (on in this
+#     session; reproduced in-round on sim_label_cohesion with a crafted
+#     [0,0] vector). Found by the r8 crafted-truth sweep, which caught the
+#     SAME ANSI class in agg_histogram_totalprice's min==max degenerate
+#     (in-window, fixed in-round: one point bucket). _unit_vectors backs
+#     ~8 similarity/dedup queries, most OUTSIDE the r8 window — hence
+#     queued. Fix shape: define zero vectors out per contract (filter
+#     sq_sum > 0 with an observe() count, or F.try_divide) IDENTICALLY in
+#     the DuckDB oracle SQL (_SQL_UNIT), then rotate the family into r9
+#     for re-certification. Structural follow-up: add a CONSTANT-input
+#     probe beside the empty-input probe (tests/test_empty_inputs.py) —
+#     single-distinct-value columns reach division/width arithmetic the
+#     empty probe never exercises; sweep min==max / zero-norm / zero-sum
+#     shapes across registered queries.
 _PRIORITY_WINDOW = (
     # --- standing canaries ---
     "wordcount",
