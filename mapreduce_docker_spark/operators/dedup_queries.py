@@ -573,6 +573,9 @@ _SQL_UNIT = """
                  list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
                  (a, b) -> a + b))) AS u
       FROM embeddings
+      WHERE list_reduce(list_prepend(0.0,
+              list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+              (a, b) -> a + b) > 0
     )
 """
 
@@ -586,6 +589,11 @@ def _sql_dot(a: str, b: str) -> str:
 
 
 def _unit_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, u): unit-normalized embeddings, zero-norm rows
+    DEFINED OUT — a zero vector has no direction, so cosine semantics
+    exclude it (and under ANSI mode the unguarded x/sqrt(0) THROWS
+    DIVIDE_BY_ZERO — r8 constant-input probe). The oracle's _SQL_UNIT
+    carries the identical WHERE, so both engines drop the same rows."""
     emb = scatter(load_table(spark, sf_dir, "embeddings"))
     sq_sum = F.aggregate(
         F.transform(F.col("embedding"), lambda y: y.cast("double") * y.cast("double")),
@@ -593,7 +601,7 @@ def _unit_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, b: a + b,
     )
     norm = F.sqrt(sq_sum)
-    return emb.select(
+    return emb.filter(sq_sum > 0).select(
         "vec_id",
         "label",
         F.transform(F.col("embedding"), lambda x: x.cast("double") / norm).alias("u"),
@@ -620,8 +628,12 @@ _SQL_SRP_COMMON = f"""
       ) t GROUP BY j
     ),
     ed AS (
+      -- zero-norm vectors are defined out of cosine semantics (see _SQL_UNIT)
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM embeddings
+      WHERE list_reduce(list_prepend(0.0,
+              list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+              (a, b) -> a + b) > 0
     ),
     bits AS (
       SELECT ed.vec_id, p.j,
@@ -673,6 +685,9 @@ _SQL_DEDUP_SRP = _SQL_SRP_COMMON + f""",
           list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
           (a, b) -> a + b))) AS u
       FROM embeddings
+      WHERE list_reduce(list_prepend(0.0,
+              list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+              (a, b) -> a + b) > 0
     )
 """
 
@@ -725,7 +740,9 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda a, b: a + b,
     )
-    unit = emb.select(
+    # zero-norm rows defined out (ANSI divide guard) — matches the oracle's
+    # filtered ed/unit CTEs, see _unit_vectors
+    unit = emb.filter(sq_sum > 0).select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double") / F.sqrt(sq_sum)).alias(
             "u"

@@ -91,19 +91,45 @@ def _write_once(kind: str, digest: str, write) -> str:
     The _SUCCESS marker gates re-writes: repeated invocations in one
     process (bench warm runs, plan tests) and across processes reuse the
     staged layout; a regenerated fixture changes the digest and stages a
-    fresh directory. Writes go to a tmp dir + atomic rename so a killed
-    writer can never leave a half-written layout that passes the gate.
+    fresh directory. Writes go to a PROCESS-UNIQUE tmp dir + atomic
+    rename (the ``_stage_bucketed_once`` protocol — the r8 queue item):
+    the old shared ``out + ".tmp"`` path let two cold processes racing
+    the same digest overwrite each other's tmp mid-write before the
+    promote. A losing promoter gets ENOTEMPTY, verifies the winner's
+    ``_SUCCESS``, and discards its tmp; a promoted dir is never deleted
+    (content-addressed immutability), so no reader can lose its files.
     """
     out = _staging_dir(kind, digest)
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
-    tmp = out + ".tmp"
+    import shutil
+    import uuid
+
+    tmp = f"{out}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     write(tmp)
     # Spark's own commit protocol wrote tmp/_SUCCESS; promote atomically
-    import shutil
-
-    shutil.rmtree(out, ignore_errors=True)
-    os.replace(tmp, out)
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
+            # a concurrent writer won the promote; its layout is complete
+            # and byte-equivalent (same digest) — keep it, discard ours
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            # a half-written corpse from a killed pre-fix writer (never
+            # passed the _SUCCESS gate): move it ASIDE atomically rather
+            # than rmtree — only one process can win this rename, so a
+            # concurrently promoted dir can never be deleted — then retry
+            try:
+                os.replace(out, f"{tmp}.corpse")
+            except OSError:
+                pass
+            try:
+                os.replace(tmp, out)
+            except OSError:
+                if not os.path.exists(os.path.join(out, "_SUCCESS")):
+                    raise
+                shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 

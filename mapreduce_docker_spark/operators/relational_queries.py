@@ -1689,8 +1689,20 @@ def agg_unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_stats_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     (li,) = _t(spark, sf_dir, "lineitem")
+    # Pearson corr from its co-moment parts, CASE-guarded on zero variance:
+    # Spark 4's corr aggregate THROWS DIVIDE_BY_ZERO under ANSI mode when a
+    # group's variance is zero (r8 constant-input probe), while the SQL
+    # standard — and DuckDB — return NULL. covar_pop/stddev_pop carry the
+    # same single-pass co-moment state corr uses internally, and CASE
+    # evaluates the division lazily, so values are identical on every
+    # non-degenerate group and NULL (not a crash) on constant ones.
+    corr_guarded = F.when(
+        (F.stddev_pop("l_quantity") > 0) & (F.stddev_pop("l_extendedprice") > 0),
+        F.covar_pop("l_quantity", "l_extendedprice")
+        / (F.stddev_pop("l_quantity") * F.stddev_pop("l_extendedprice")),
+    )
     return li.groupBy("l_returnflag").agg(
-        dround(F.corr("l_quantity", "l_extendedprice"), 6).alias("qp_corr"),
+        dround(corr_guarded, 6).alias("qp_corr"),
         dround(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("qp_covar"),
         dround(F.stddev_pop("l_quantity"), 6).alias("q_stddev"),
         dround(F.var_pop("l_extendedprice"), 2).alias("p_var"),

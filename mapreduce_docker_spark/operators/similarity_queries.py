@@ -184,6 +184,9 @@ def _srp_bucket_col() -> "F.Column":
                  list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
                  (a, b) -> a + b))) AS u
       FROM embeddings
+      WHERE list_reduce(list_prepend(0.0,
+              list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+              (a, b) -> a + b) > 0
     ),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket AS bucket,
@@ -208,7 +211,8 @@ def sim_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda a, b: a + b,
     )
-    unit = emb.select(
+    # zero-norm rows defined out (ANSI divide guard; oracle WHERE matches)
+    unit = emb.filter(sq_sum > 0).select(
         "vec_id",
         bucket.alias("bucket"),
         F.transform(F.col("embedding"), lambda x: x.cast("double") / F.sqrt(sq_sum)).alias(
@@ -269,6 +273,9 @@ def sim_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
           list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
           (a, b) -> a + b))) AS u
       FROM embeddings
+      WHERE list_reduce(list_prepend(0.0,
+              list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+              (a, b) -> a + b) > 0
     ),
     scored AS (
       SELECT d.query_id, d.neighbor_id,
@@ -319,7 +326,8 @@ def sim_ann_srp_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda a, b: a + b,
     )
-    unit = emb.select(
+    # zero-norm rows defined out (ANSI divide guard; oracle WHERE matches)
+    unit = emb.filter(sq_sum > 0).select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double") / F.sqrt(sq_sum)).alias(
             "u"
@@ -541,12 +549,14 @@ def _renormalized_centroids(best: DataFrame) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
         ).alias("craw")
     )
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("craw"), lambda y: y * y), F.lit(0.0), lambda a, b: a + b
-        )
+    sq = F.aggregate(
+        F.transform(F.col("craw"), lambda y: y * y), F.lit(0.0), lambda a, b: a + b
     )
-    return raw.select(
+    norm = F.sqrt(sq)
+    # a centroid whose assigned vectors average to the zero vector has no
+    # direction: defined out, like zero-norm inputs (ANSI divide guard);
+    # the oracle's cent CTEs carry the identical filter (_sql_unit_norm)
+    return raw.filter(sq > 0).select(
         "cent_id", F.transform(F.col("craw"), lambda x: x / norm).alias("cu")
     )
 
@@ -585,6 +595,15 @@ def _sql_unit_norm(expr: str) -> str:
     )
 
 
+def _sql_sq_sum(expr: str) -> str:
+    """Squared L2 norm — the zero-direction guard predicate (see
+    _renormalized_centroids / _unit_vectors)."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform({expr}, y -> y * y)), "
+        f"(a, b) -> a + b)"
+    )
+
+
 def _sql_kmeans_iter(i: int, prev: str) -> str:
     """One assign -> mean -> renormalize round as DuckDB CTEs."""
     return f"""
@@ -602,7 +621,8 @@ def _sql_kmeans_iter(i: int, prev: str) -> str:
       GROUP BY a.cent_id, t.i
     ),
     centraw{i} AS (SELECT cent_id, list(m ORDER BY i) AS craw FROM comp{i} GROUP BY cent_id),
-    cent{i} AS (SELECT cent_id, {_sql_unit_norm('craw')} AS cu FROM centraw{i})"""
+    cent{i} AS (SELECT cent_id, {_sql_unit_norm('craw')} AS cu FROM centraw{i}
+                WHERE {_sql_sq_sum('craw')} > 0)"""
 
 
 _SQL_IVF_CENT = (

@@ -149,35 +149,44 @@ def _load_all() -> None:
 # 5 + 1 + 2 + 1 + 23 + 18 = 50. Still stale after this window (rotate
 # r9): the 26 remaining r4-era names, then the r5-era cohort behind them
 # — regenerate with tools/stale_report.py, do not hand-edit.
-# r9 fix queue: TWO items.
-#   * _write_once (layout_queries.py) writes to a SHARED tmp path
-#     (out + ".tmp") — two cold processes racing the same digest both
-#     write into that tmp dir (mode=overwrite, so the second wipes the
-#     first mid-write) before the rmtree+replace promote. Harden with the
-#     exact _stage_bucketed_once protocol: process-unique tmp nonce +
-#     try os.replace / on ENOTEMPTY check winner's _SUCCESS and discard.
-#     Engine path of every _write_once-backed layout query
-#     (layout_partition_pruned_events, docs_ndjson_roundtrip,
-#     events_orc_roundtrip, merge_upsert_orders*, layout_zorder_events)
-#     — all but zorder are OUTSIDE the r8 window, hence queued, not
-#     changed mid-round; they are r5-era stale and rotate into r9
-#     naturally for re-certification.
-#   * _unit_vectors zero-norm ANSI crash (similarity_queries.py:588-600
-#     and the inline normalizations at :214, :324, :550): a zero embedding
-#     makes x / sqrt(0) THROW DIVIDE_BY_ZERO under ANSI mode (on in this
-#     session; reproduced in-round on sim_label_cohesion with a crafted
-#     [0,0] vector). Found by the r8 crafted-truth sweep, which caught the
-#     SAME ANSI class in agg_histogram_totalprice's min==max degenerate
-#     (in-window, fixed in-round: one point bucket). _unit_vectors backs
-#     ~8 similarity/dedup queries, most OUTSIDE the r8 window — hence
-#     queued. Fix shape: define zero vectors out per contract (filter
-#     sq_sum > 0 with an observe() count, or F.try_divide) IDENTICALLY in
-#     the DuckDB oracle SQL (_SQL_UNIT), then rotate the family into r9
-#     for re-certification. Structural follow-up: add a CONSTANT-input
-#     probe beside the empty-input probe (tests/test_empty_inputs.py) —
-#     single-distinct-value columns reach division/width arithmetic the
-#     empty probe never exercises; sweep min==max / zero-norm / zero-sum
-#     shapes across registered queries.
+# r9 fix queue: EMPTY — both queued items were fixed LATE IN r8 once the
+# planned constant-input probe landed and gave them full repo-side
+# verification (tests/test_constant_inputs.py sweeps a
+# single-distinct-row + zero-norm-embeddings fixture over all 207
+# registered queries; 12 crashers found, all fixed same-round, every one
+# pinned in the probe). Driver re-certification is still OWED: the
+# affected families are outside the frozen r8 window, so their r8 rows
+# (if any) predate nothing — the engine paths changed after the window
+# froze and the r9 window MUST rotate them in. Specifically:
+#   * _write_once now stages via process-unique tmp nonce + atomic
+#     os.replace with _SUCCESS-verified loser-discard, the exact
+#     _stage_bucketed_once protocol (layout_queries.py; two-process test
+#     in tests/test_layout_queries.py). Engine path of
+#     layout_partition_pruned_events, docs_ndjson_roundtrip,
+#     events_orc_roundtrip, merge_upsert_orders* (zorder re-staged too
+#     but is in-window and re-certifies in r8).
+#   * zero-norm embeddings are DEFINED OUT of every cosine path,
+#     identically in Spark (filter sq_sum > 0) and the DuckDB oracles
+#     (WHERE ... > 0): _unit_vectors/_SQL_UNIT/_SQL_DEDUP_SRP/
+#     _SQL_SRP_COMMON, the similarity_queries inline unit scans, and the
+#     k-means renormalized centroids. Engine path of sim_cosine_topk*,
+#     sim_ann_srp*, sim_ann_ivf*, sim_label_cohesion,
+#     dedup_embedding_pairs/clusters, emb_vector_store_build.
+#   * two NEW r8-probe finds, also fixed: agg_stats_quantity_price
+#     (Spark 4's corr aggregate itself throws DIVIDE_BY_ZERO under ANSI
+#     on zero-variance groups where SQL/DuckDB return NULL — rebuilt from
+#     covar_pop/stddev_pop behind a lazy CASE guard) and
+#     streaming_foreachbatch_sink (file-stream source listed zero files
+#     on a directory-shaped fixture → zero batches → crash on the
+#     never-created sink dir; recursiveFileLookup on the symlink-staged
+#     stream readers + typed-empty read-back guard — note this touches
+#     read_events_stream, the engine path of every streaming_* query
+#     INCLUDING in-window streaming_dedup_native_keys, which re-certifies
+#     in r8).
+# r9 window must therefore lead with: the _write_once layout family, the
+# cosine/zero-norm family, agg_stats_quantity_price, and
+# streaming_foreachbatch_sink — then the stale_report freshness rotation
+# (26 remaining r4-era names, r5-era cohort behind them).
 _PRIORITY_WINDOW = (
     # --- standing canaries ---
     "wordcount",

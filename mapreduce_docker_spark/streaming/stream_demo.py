@@ -58,7 +58,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(os.path.abspath(path), link)
     schema = spark.read.parquet(path).schema
-    raw = spark.readStream.schema(schema).parquet(stage)
+    # recursiveFileLookup: the fixture may be a single file OR a
+    # Spark-written DIRECTORY (part-files one level down the symlink);
+    # without it the file-stream source lists zero files on the directory
+    # shape and silently runs zero micro-batches (r8 constant-input probe)
+    raw = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
     ts_type = dict((f.name, f.dataType.simpleString()) for f in schema).get("ts")
     if ts_type == "bigint":
         raw = raw.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
@@ -288,6 +296,13 @@ def run_foreachbatch_partitioned_sink(
         .start()
     )
     q.awaitTermination()
+    if not os.path.exists(out_dir):
+        # zero micro-batches (an empty source) legitimately never creates
+        # the sink dir; return the typed empty relation instead of crashing
+        # on read-back (r8 constant-input probe, empty-input discipline)
+        return spark.createDataFrame([], counts.schema).select(
+            "event_type", "n_events"
+        )
     return spark.read.parquet(out_dir).select("event_type", "n_events")
 
 
@@ -314,7 +329,13 @@ def run_streaming_wordcount(
     if not os.path.exists(link):
         os.symlink(os.path.abspath(path), link)
     schema = spark.read.parquet(path).schema
-    docs = spark.readStream.schema(schema).parquet(stage)
+    # recursiveFileLookup: accept file- and directory-shaped fixtures alike
+    # (see read_events_stream)
+    docs = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
     counts = (
         docs.select(F.explode(tokens("text")).alias("word"))
         .groupBy("word")

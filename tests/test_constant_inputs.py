@@ -1,0 +1,141 @@
+"""Degenerate-input robustness, part 2: CONSTANT inputs.
+
+The empty-input probe (tests/test_empty_inputs.py) covers the
+filtered-to-nothing case; this probe covers its sibling the r8 registry
+note planned — single-distinct-value columns, which reach division and
+width arithmetic an empty input never executes (min==max ranges,
+zero-variance groups, zero-norm embeddings, duplicate keys). Any 100 TB
+pipeline hits these on real slices: a day where every order shipped at
+the same price, a template corpus whose embeddings collapse, a dead
+encoder emitting zero vectors.
+
+The full 207-query sweep of this fixture (r8) found 12 crashers, all
+fixed and pinned here:
+
+* 10x zero-norm embedding → ``x / sqrt(0)`` threw DIVIDE_BY_ZERO under
+  ANSI mode (Spark 4 default) in every cosine-path query. Contract now:
+  a zero vector has no direction, so it is DEFINED OUT of the unit-vector
+  relation, identically in the Spark scan (``filter(sq_sum > 0)``) and
+  the DuckDB oracle CTEs (``WHERE ... > 0``) — dedup_queries._unit_vectors
+  / _SQL_UNIT / _SQL_DEDUP_SRP / _SQL_SRP_COMMON, the inline unit scans in
+  similarity_queries, and the k-means renormalized centroids (a centroid
+  whose members average to zero is dropped the same way on both engines).
+* ``agg_stats_quantity_price``: Spark 4's ``corr`` aggregate itself
+  throws DIVIDE_BY_ZERO under ANSI on a zero-variance group, where the
+  SQL standard (and DuckDB) return NULL — rebuilt from its co-moment
+  parts (covar_pop / stddev_pop) behind a lazily-evaluated CASE guard.
+* ``streaming_foreachbatch_sink``: the file-stream source listed ZERO
+  files when the fixture is a Spark-written DIRECTORY (part-files one
+  level below the staged symlink), so zero micro-batches ran and the
+  read-back crashed on the never-created sink dir. Fixed with
+  recursiveFileLookup on the symlink-staged stream readers (directory-
+  and file-shaped fixtures now both stream) plus a typed-empty read-back
+  guard for the genuinely-empty-source case.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_docker_spark.registry import all_specs
+from mapreduce_docker_spark.sources.catalog import TABLES
+
+SRC = "/root/testdata/sf0.001"
+
+# the 12 r8-sweep crashers + a representative spread of every family with
+# division / range-width / variance arithmetic in its hot path
+PROBE = [
+    # --- the zero-norm cosine family (all threw DIVIDE_BY_ZERO) ---
+    "sim_cosine_topk",
+    "sim_cosine_topk_pandas",
+    "sim_ann_srp",
+    "sim_ann_srp_banded",
+    "sim_ann_ivf",
+    "sim_ann_ivf_stored",
+    "sim_label_cohesion",
+    "dedup_embedding_pairs",
+    "dedup_embedding_clusters",
+    "emb_vector_store_build",
+    # --- the other two r8 crashers ---
+    "agg_stats_quantity_price",
+    "streaming_foreachbatch_sink",
+    # --- previously-fixed degenerates staying pinned ---
+    "agg_histogram_totalprice",  # min==max -> one point bucket (r8 in-window fix)
+    "agg_approx_distinct_tolerance",  # exact_nd=0 guard (r6)
+    # --- representative divide/width arithmetic that must stay NULL-safe ---
+    "text_zipf_slope",  # regr_* return NULL on degenerate fits (verified r8)
+    "agg_winsorized_value_stats",
+    "emb_norm_profile",
+    "emb_quantize_int8",
+    "dq_key_skew_report",
+    "events_daily_anomaly_zscores",
+    "agg_stats_by_segment",
+    "parts_abc_classification",
+]
+
+
+@pytest.fixture(scope="module")
+def constant_dir(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("constant_fixtures"))
+    for t in TABLES:
+        df = spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))
+        if t == "embeddings":
+            # distinct vec_ids, ALL zero-norm vectors (the dead-encoder case)
+            d = df.limit(6).withColumn(
+                "embedding", F.expr("transform(embedding, x -> CAST(0.0 AS FLOAT))")
+            )
+        else:
+            # one distinct row replicated: constant columns, duplicate keys
+            one = df.limit(1)
+            d = one
+            for _ in range(5):
+                d = d.union(one)
+        d.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, f"{t}.parquet")
+        )
+    return base
+
+
+@pytest.mark.parametrize("name", PROBE)
+def test_runs_on_constant_tables(spark, constant_dir, name):
+    # executing without an exception IS the contract under test; row
+    # contents are query-specific and pinned below where they matter
+    all_specs()[name].fn(spark, constant_dir).collect()
+
+
+def test_zero_norm_vectors_are_defined_out(spark, constant_dir):
+    """All six fixture vectors are zero-norm, so the unit relation is empty
+    and every cosine query returns zero rows (not NaN rows, not a crash)."""
+    from mapreduce_docker_spark.operators.dedup_queries import _unit_vectors
+
+    assert _unit_vectors(spark, constant_dir).count() == 0
+    assert all_specs()["sim_cosine_topk"].fn(spark, constant_dir).collect() == []
+
+
+def test_norm_profile_counts_the_dead_embeddings(spark, constant_dir):
+    """emb_norm_profile is the QUALITY GATE for this exact degenerate — it
+    must keep reporting zero vectors rather than defining them out."""
+    rows = all_specs()["emb_norm_profile"].fn(spark, constant_dir).collect()
+    assert sum(r["n_zero_vecs"] for r in rows) == 6  # one per fixture vector
+    assert all(r["max_norm"] == 0.0 for r in rows)
+
+
+def test_corr_is_null_on_zero_variance_group(spark, constant_dir):
+    rows = all_specs()["agg_stats_quantity_price"].fn(spark, constant_dir).collect()
+    assert len(rows) == 1
+    assert rows[0]["qp_corr"] is None  # SQL-standard NULL, matching DuckDB
+    assert rows[0]["qp_covar"] == 0.0
+    assert rows[0]["q_stddev"] == 0.0
+
+
+def test_foreachbatch_sink_reads_back_directory_fixture(spark, constant_dir):
+    rows = (
+        all_specs()["streaming_foreachbatch_sink"].fn(spark, constant_dir).collect()
+    )
+    # 6 identical events -> exactly one (event_type, 6) row in the sink
+    assert [(r["event_type"], r["n_events"]) for r in rows] == [
+        (rows[0]["event_type"], 6)
+    ]

@@ -374,3 +374,65 @@ spark.stop()
         assert payload, out[-2000:]
         results.append(payload[0])
     assert results[0] == results[1], results
+
+
+def test_write_once_staging_safe_across_concurrent_processes(tmp_path):
+    """The r8 queue item behind the bucketed fix: ``_write_once`` wrote to
+    a SHARED tmp path (``out + ".tmp"``), so two cold processes racing the
+    same digest overwrote each other's tmp mid-write (mode=overwrite)
+    before the promote. It now uses the same process-unique-nonce +
+    _SUCCESS-verified promote protocol as ``_stage_bucketed_once``; two
+    cold processes staging the hive-partitioned events layout concurrently
+    must BOTH succeed and agree, against a PRIVATE staging root (TMPDIR
+    override) so the shared promoted dirs are never touched."""
+    import subprocess
+    import sys as _sys
+
+    env = dict(os.environ, TMPDIR=str(tmp_path / "stage"))
+    (tmp_path / "stage").mkdir()
+
+    script = r"""
+import json, sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("writeonce-race-proc")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+from mapreduce_docker_spark.operators.layout_queries import (
+    q_layout_partition_pruned_events,
+)
+
+rows = (
+    q_layout_partition_pruned_events(spark, %r)
+    .orderBy("event_date", "event_type")
+    .collect()
+)
+print("ROWS_JSON:" + json.dumps([[str(r[0]), r[1], r[2], r[3], float(r[4])] for r in rows]))
+spark.stop()
+""" % (SF,)
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-c", script],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            cwd=str(tmp_path),
+            env=env,
+        )
+        for _ in range(2)
+    ]
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"stdout={out[-2000:]}\nstderr={err[-2000:]}"
+        payload = [ln for ln in out.splitlines() if ln.startswith("ROWS_JSON:")]
+        assert payload, out[-2000:]
+        results.append(payload[0])
+    assert results[0] == results[1], results
