@@ -36,8 +36,15 @@ FEATURE_SCHEMA = (
 
 
 def with_binary_payload(docs: DataFrame) -> DataFrame:
-    """documents -> multimodal asset table (payload + typed metadata)."""
+    """documents -> multimodal asset table (payload + typed metadata).
+
+    A NULL source text is no asset: it is dropped at ingestion (r8
+    NULL-input probe — the Arrow decode lanes would otherwise hash/slice
+    a Python ``None``). Every multimodal oracle carries the matching
+    ``WHERE text IS NOT NULL``.
+    """
     payload = F.encode(F.col("text"), "UTF-8")
+    docs = docs.filter(F.col("text").isNotNull())
     return docs.select(
         "doc_id",
         "source",

@@ -17,6 +17,7 @@ from mapreduce_docker_spark.sources.catalog import load_table
       -- sha256 in DuckDB 1.0 is VARCHAR-only; hashing the VARCHAR hashes its
       -- UTF-8 bytes, identical to Spark's sha2(encode(text,'UTF-8'), 256)
       SELECT doc_id, source, text, encode(text) AS payload FROM documents
+      WHERE text IS NOT NULL  -- a NULL text is no asset (ingestion contract)
     )
     SELECT source,
            count(*)                              AS n_assets,
@@ -41,6 +42,7 @@ def multimodal_meta_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH assets AS (
       SELECT doc_id, encode(text) AS payload, sha256(text) AS digest FROM documents
+      WHERE text IS NOT NULL  -- ingestion contract (see with_binary_payload)
     )
     SELECT doc_id,
            CAST(octet_length(payload) AS INTEGER)                          AS n_bytes,
@@ -65,6 +67,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
              array_to_string(list_transform(generate_series(1, length(text), 2),
                i -> substr(text, CAST(i AS INTEGER), 1)), '') AS small
       FROM documents
+      WHERE text IS NOT NULL  -- ingestion contract (see with_binary_payload)
     )
     SELECT doc_id,
            CAST(length(small) AS INTEGER) AS n_bytes,

@@ -2022,7 +2022,9 @@ def agg_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m
     )
     SELECT month, n_orders, revenue,
-           CASE WHEN prev IS NULL THEN NULL
+           -- growth off a zero base is undefined: NULL, not a divide
+           -- (Spark ANSI throws, DuckDB decimal division errors too)
+           CASE WHEN prev IS NULL OR prev = 0 THEN NULL
                 ELSE {rsql("(revenue - prev) / prev", 6)} END AS mom_growth
     FROM g
     """,
@@ -2051,7 +2053,8 @@ def orders_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "revenue",
         F.when(
-            F.col("prev").isNull(), F.lit(None).cast("double")
+            F.col("prev").isNull() | (F.col("prev") == 0),
+            F.lit(None).cast("double"),
         )
         .otherwise(dround((F.col("revenue") - F.col("prev")) / F.col("prev"), 6))
         .alias("mom_growth"),
@@ -2122,13 +2125,20 @@ def sketch_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = events.groupBy("event_type").agg(
         F.kll_sketch_agg_double("value").alias("sk"),
         F.count(F.lit(1)).alias("n"),
+        # the agg skips NULLs, so an all-NULL group yields a sketch with
+        # no items and get_quantile throws KLL_INVALID_INPUT_SKETCH_BUFFER
+        # (r8 NULL-input probe); quantiles of nothing are NULL, CASE-lazily
+        F.count("value").alias("n_vals"),
     )
+
+    def q(p: float, name: str):
+        return F.when(
+            F.col("n_vals") > 0,
+            F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(p)),
+        ).alias(name)
+
     return sk.select(
-        "event_type",
-        "n",
-        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.5)).alias("p50_est"),
-        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.9)).alias("p90_est"),
-        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.99)).alias("p99_est"),
+        "event_type", "n", q(0.5, "p50_est"), q(0.9, "p90_est"), q(0.99, "p99_est")
     )
 
 
@@ -2233,10 +2243,13 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_partkey
     ),
     c AS (
+      -- zero total revenue has no Pareto distribution: share is NULL
+      -- (classifies as C), never a divide (ANSI/decimal zero-divide)
       SELECT l_partkey, revenue,
              {rsql(
-                 "sum(revenue) OVER (ORDER BY revenue DESC, l_partkey ASC)"
-                 " / sum(revenue) OVER ()", 6
+                 "CASE WHEN sum(revenue) OVER () = 0 THEN NULL"
+                 " ELSE sum(revenue) OVER (ORDER BY revenue DESC, l_partkey ASC)"
+                 " / sum(revenue) OVER () END", 6
              )} AS cum_share
       FROM pr
     ),
@@ -2284,10 +2297,13 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     total = F.sum("revenue").over(Window.partitionBy())
+    # zero total revenue -> NULL share (class C), matching the oracle CASE
     c = pr.select(
         "l_partkey",
         "revenue",
-        dround(F.sum("revenue").over(w_rows) / total, 6).alias("cum_share"),
+        dround(
+            F.when(total != 0, F.sum("revenue").over(w_rows) / total), 6
+        ).alias("cum_share"),
     )
     cl = c.select(
         "l_partkey",

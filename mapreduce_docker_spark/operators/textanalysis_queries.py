@@ -52,7 +52,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(toks) AS INTEGER)                 AS n_tokens,
            CAST(len(list_distinct(toks)) AS INTEGER)  AS n_distinct,
            CAST(length(text) AS INTEGER)              AS n_chars,
-           {rsql("list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> CAST(length(t) AS BIGINT))), (a, b) -> a + b) / CAST(len(toks) AS DOUBLE)", 4)} AS avg_token_len
+           CASE WHEN len(toks) = 0 THEN NULL
+                ELSE {rsql("list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> CAST(length(t) AS BIGINT))), (a, b) -> a + b) / CAST(len(toks) AS DOUBLE)", 4)}
+           END AS avg_token_len
     FROM d
     """,
     section="U4",
@@ -70,7 +72,13 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks").alias("n_tokens"),
         F.size(F.array_distinct("toks")).alias("n_distinct"),
         F.length("text").alias("n_chars"),
-        dround(tok_len_sum / F.size("toks").cast("double"), 4).alias("avg_token_len"),
+        # a zero-token doc has no mean token length: NULL, never a divide
+        dround(
+            F.when(
+                F.size("toks") > 0, tok_len_sum / F.size("toks").cast("double")
+            ),
+            4,
+        ).alias("avg_token_len"),
     )
 
 
@@ -78,13 +86,18 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality_score",
     f"""
     WITH d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    -- zero-token docs have no defined ratios: NULL on every metric (the
+    -- curation layer treats NULL quality as reject), never a divide
     SELECT doc_id,
-           {rsql("len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)", 4)} AS ttr,
-           {rsql("len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','for','on'))) / CAST(len(toks) AS DOUBLE)", 4)} AS stopword_ratio,
-           {rsql(
+           CASE WHEN len(toks) = 0 THEN NULL
+                ELSE {rsql("len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)", 4)} END AS ttr,
+           CASE WHEN len(toks) = 0 THEN NULL
+                ELSE {rsql("len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','for','on'))) / CAST(len(toks) AS DOUBLE)", 4)} END AS stopword_ratio,
+           CASE WHEN len(toks) = 0 THEN NULL
+                ELSE {rsql(
                "0.3 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))"
                " + 0.4 * (1.0 - len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','for','on'))) / CAST(len(toks) AS DOUBLE))"
-               " + 0.3 * least(len(toks) / 100.0, 1.0)", 4)} AS quality_score
+               " + 0.3 * least(len(toks) / 100.0, 1.0)", 4)} END AS quality_score
     FROM d
     """,
     section="U4",
@@ -93,9 +106,10 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("toks"))
     n = F.size("toks").cast("double")
-    ttr = F.size(F.array_distinct("toks")) / n
-    stop_ratio = (
-        F.size(F.filter(F.col("toks"), lambda t: t.isin(*STOPWORDS))) / n
+    nonempty = F.size("toks") > 0  # zero-token docs: NULL metrics (see SQL)
+    ttr = F.when(nonempty, F.size(F.array_distinct("toks")) / n)
+    stop_ratio = F.when(
+        nonempty, F.size(F.filter(F.col("toks"), lambda t: t.isin(*STOPWORDS))) / n
     )
     score = (
         F.lit(0.3) * ttr
@@ -325,7 +339,11 @@ TFIDF_PAIR_MIN_COS = 0.5
       SELECT doc_id, s, ln((SELECT n FROM nn) / CAST(df AS DOUBLE)) AS w
       FROM wdf WHERE df BETWEEN {TFIDF_PAIR_DF_MIN} AND {TFIDF_PAIR_DF_CAP}
     ),
-    norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM kept GROUP BY doc_id),
+    -- a doc whose kept terms ALL have df = n carries only w = 0 weights:
+    -- its tf-idf vector is zero-norm, hence directionless and defined out
+    -- (the embedding-lane contract; unguarded it divides by zero)
+    norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM kept GROUP BY doc_id
+              HAVING sum(w * w) > 0),
     dots AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
       FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -371,7 +389,13 @@ def text_tfidf_pair_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one tokenize: the weighted postings feed norms AND both join sides —
     # without materialization Catalyst re-derives the corpus three times
     kept = kept.localCheckpoint(eager=False)
-    norms = kept.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    # zero-norm tf-idf vectors defined out (oracle HAVING matches): a doc
+    # whose kept terms all have df = n would otherwise divide by zero
+    norms = (
+        kept.groupBy("doc_id")
+        .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        .filter(F.col("nrm") > 0)
+    )
     a, b = kept.alias("a"), kept.alias("b")
     dots = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -458,7 +482,11 @@ def text_ml_pipeline_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         StopWordsRemover,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # RegexTokenizer throws on NULL text by library design (r8 NULL-input
+    # probe); NULL docs tokenize to nothing everywhere else, so drop them
+    docs = _docs(spark, sf_dir).select("doc_id", "text").filter(
+        F.col("text").isNotNull()
+    )
     if docs.isEmpty():
         # pyspark.ml IDF.fit() throws on an empty dataset by library
         # design (r5 empty-input sweep); an empty corpus slice returns

@@ -148,7 +148,10 @@ def q_wordcount_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda r: r[0]
     )
     pairs = (
-        lines.flatMap(lambda s: re.findall(r"[a-z]+", s.lower()))
+        # NULL text yields no tokens — the DataFrame lane gets this free
+        # (explode(NULL) emits nothing) and the oracle's unnest(NULL)
+        # matches; the Python lane must say it explicitly
+        lines.flatMap(lambda s: re.findall(r"[a-z]+", s.lower()) if s else [])
         .map(lambda w: (w, 1))
         .reduceByKey(add)
     )
@@ -214,8 +217,14 @@ def q_bootstrap_zip_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "text")
             .collect()
         )
-        txt = "\n".join(r["text"].replace("\n", " ") for r in sorted(rows))
-        tmp = zip_path + ".tmp"
+        # NULL text contributes no tokens (oracle: lower(NULL) -> no rows),
+        # so it stages as an empty line
+        txt = "\n".join(
+            (r["text"] or "").replace("\n", " ") for r in sorted(rows)
+        )
+        # process-unique tmp + atomic replace: the _write_once discipline
+        # (a shared .tmp would interleave two cold stagers' writes)
+        tmp = f"{zip_path}.tmp-{os.getpid()}"
         with zipfile.ZipFile(tmp, "w") as zf:
             zf.writestr("corpus_part0.txt", txt)
         os.replace(tmp, zip_path)

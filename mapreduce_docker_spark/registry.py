@@ -183,10 +183,33 @@ def _load_all() -> None:
 #     read_events_stream, the engine path of every streaming_* query
 #     INCLUDING in-window streaming_dedup_native_keys, which re-certifies
 #     in r8).
-# r9 window must therefore lead with: the _write_once layout family, the
-# cosine/zero-norm family, agg_stats_quantity_price, and
-# streaming_foreachbatch_sink — then the stale_report freshness rotation
-# (26 remaining r4-era names, r5-era cohort behind them).
+#   * two MORE probe shapes followed (ZERO measures/EMPTY text; NULL
+#     measures/NULL text), finding 12 further crashers — all fixed with
+#     the rows-contribute-nothing / NULL-not-a-divide contracts applied
+#     identically to both engines and pinned in
+#     tests/test_constant_inputs.py: orders_mom_revenue_growth,
+#     parts_abc_classification, text_token_stats, text_quality_score,
+#     text_tfidf_pair_cosine (zero-norm tf-idf vector defined out),
+#     wordcount_rdd, bootstrap_zip_wordcount (+ its zip stager moved to a
+#     process-unique tmp), text_ml_pipeline_tfidf,
+#     sketch_kll_value_quantiles, and the multimodal ingestion contract
+#     (NULL text is no asset; multimodal_features/resize/frame_stats/
+#     meta_by_source + matching oracle WHEREs — features/frame_stats/
+#     meta_by_source are IN the r8 window and re-certify there, as do
+#     bootstrap_zip_wordcount, dedup_embedding_pairs and
+#     streaming_foreachbatch_sink).
+# r9 window must therefore lead with the OUT-of-window engine-path
+# changes from the late-r8 batches: the _write_once layout family
+# (layout_partition_pruned_events, docs_ndjson_roundtrip,
+# events_orc_roundtrip, merge_upsert_orders*), the cosine/zero-norm
+# family (sim_cosine_topk*, sim_ann_srp*, sim_ann_ivf*,
+# sim_label_cohesion, dedup_embedding_clusters, emb_vector_store_build),
+# agg_stats_quantity_price, orders_mom_revenue_growth,
+# parts_abc_classification, text_token_stats, text_quality_score,
+# text_tfidf_pair_cosine, wordcount_rdd, text_ml_pipeline_tfidf,
+# sketch_kll_value_quantiles, multimodal_resize — then the stale_report
+# freshness rotation (26 remaining r4-era names, r5-era cohort behind
+# them).
 _PRIORITY_WINDOW = (
     # --- standing canaries ---
     "wordcount",

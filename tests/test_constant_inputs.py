@@ -106,6 +106,176 @@ def test_runs_on_constant_tables(spark, constant_dir, name):
     all_specs()[name].fn(spark, constant_dir).collect()
 
 
+# ---------------------------------------------------------------------------
+# fixture 2: ZERO-valued measures + EMPTY document text (distinct keys) —
+# reaches share-of-total / ratio / log arithmetic the constant-row fixture
+# (nonzero values) does not. The full 207-query r8 sweep of this shape
+# found 5 more crashers, fixed with the same defined-out/NULL contracts on
+# both engines and pinned below:
+#   orders_mom_revenue_growth   growth off a zero base -> NULL
+#   parts_abc_classification    zero total revenue -> NULL shares, class C
+#   text_token_stats            zero-token doc -> NULL avg_token_len
+#   text_quality_score          zero-token doc -> NULL on every metric
+#   text_tfidf_pair_cosine      zero-norm tf-idf vector (all kept terms at
+#                               df = n carry w = 0) defined out of cosine
+# ---------------------------------------------------------------------------
+
+ZERO_PROBE = [
+    "orders_mom_revenue_growth",
+    "parts_abc_classification",
+    "text_token_stats",
+    "text_quality_score",
+    "text_tfidf_pair_cosine",
+    # ratio-heavy neighbors that must stay NULL-safe on zero sums
+    "orders_cohort_ltv",
+    "q14_promo_revenue_share",
+    "text_curation_pipeline",
+    "text_unigram_surprisal",
+    "text_length_buckets",
+    "agg_histogram_totalprice",
+]
+
+_KEYISH = ("key", "_id", "id")
+
+
+@pytest.fixture(scope="module")
+def zero_dir(spark, tmp_path_factory):
+    from pyspark.sql import types as T
+
+    numeric = (
+        T.DoubleType,
+        T.FloatType,
+        T.DecimalType,
+        T.IntegerType,
+        T.LongType,
+        T.ShortType,
+    )
+    base = str(tmp_path_factory.mktemp("zero_fixtures"))
+    for t in TABLES:
+        df = spark.read.parquet(os.path.join(SRC, f"{t}.parquet")).limit(6)
+        cols = []
+        for f in df.schema.fields:
+            if f.name == "text":
+                cols.append(F.lit("").alias(f.name))
+            elif isinstance(f.dataType, numeric) and not any(
+                k in f.name for k in _KEYISH
+            ):
+                cols.append(F.lit(0).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.col(f.name))
+        df.select(*cols).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, f"{t}.parquet")
+        )
+    return base
+
+
+@pytest.mark.parametrize("name", ZERO_PROBE)
+def test_runs_on_zero_valued_tables(spark, zero_dir, name):
+    all_specs()[name].fn(spark, zero_dir).collect()
+
+
+# ---------------------------------------------------------------------------
+# fixture 3: NULL measures + NULL document text — the Python/library lanes
+# (RDD flatMap, Arrow mapInPandas, pyspark.ml fit, DataSketches buffers)
+# don't get SQL's NULL-skipping for free. The full r8 sweep of this shape
+# found 7 crashers, fixed with the same rows-contribute-nothing contract
+# the declarative lanes already had (explode(tokens(NULL)) emits nothing):
+#   wordcount_rdd / bootstrap_zip_wordcount   None text -> no tokens
+#   multimodal_features/resize/frame_stats    NULL text is no asset
+#                                             (dropped at ingestion, oracle
+#                                             WHERE matches)
+#   text_ml_pipeline_tfidf                    RegexTokenizer throws on NULL
+#   sketch_kll_value_quantiles                all-NULL group -> empty KLL
+#                                             buffer -> NULL quantiles
+# ---------------------------------------------------------------------------
+
+NULL_PROBE = [
+    "wordcount_rdd",
+    "bootstrap_zip_wordcount",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_stats",
+    "multimodal_meta_by_source",
+    "text_ml_pipeline_tfidf",
+    "sketch_kll_value_quantiles",
+    "wordcount",  # the declarative twin must agree: NULL text, no tokens
+]
+
+
+@pytest.fixture(scope="module")
+def null_dir(spark, tmp_path_factory):
+    from pyspark.sql import types as T
+
+    numeric = (
+        T.DoubleType,
+        T.FloatType,
+        T.DecimalType,
+        T.IntegerType,
+        T.LongType,
+        T.ShortType,
+    )
+    base = str(tmp_path_factory.mktemp("null_fixtures"))
+    for t in TABLES:
+        df = spark.read.parquet(os.path.join(SRC, f"{t}.parquet")).limit(6)
+        cols = []
+        for f in df.schema.fields:
+            if f.name == "text":
+                cols.append(F.lit(None).cast("string").alias(f.name))
+            elif isinstance(f.dataType, numeric) and not any(
+                k in f.name for k in _KEYISH
+            ):
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.col(f.name))
+        df.select(*cols).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, f"{t}.parquet")
+        )
+    return base
+
+
+@pytest.mark.parametrize("name", NULL_PROBE)
+def test_runs_on_null_valued_tables(spark, null_dir, name):
+    all_specs()[name].fn(spark, null_dir).collect()
+
+
+def test_null_text_contributes_no_tokens_on_every_lane(spark, null_dir):
+    specs = all_specs()
+    assert specs["wordcount"].fn(spark, null_dir).collect() == []
+    assert specs["wordcount_rdd"].fn(spark, null_dir).collect() == []
+
+
+def test_null_assets_are_dropped_at_ingestion(spark, null_dir):
+    assert all_specs()["multimodal_features"].fn(spark, null_dir).collect() == []
+
+
+def test_all_null_kll_group_yields_null_quantiles(spark, null_dir):
+    rows = all_specs()["sketch_kll_value_quantiles"].fn(spark, null_dir).collect()
+    assert rows and all(
+        r["p50_est"] is None and r["p99_est"] is None for r in rows
+    )
+
+
+def test_growth_off_zero_base_is_null(spark, zero_dir):
+    rows = all_specs()["orders_mom_revenue_growth"].fn(spark, zero_dir).collect()
+    assert rows and all(r["mom_growth"] is None for r in rows)
+
+
+def test_zero_total_revenue_has_no_pareto_classes(spark, zero_dir):
+    rows = all_specs()["parts_abc_classification"].fn(spark, zero_dir).collect()
+    assert [r["abc"] for r in rows] == ["C"]  # NULL share classifies as C
+    assert rows[0]["min_cum_share"] is None
+
+
+def test_zero_token_docs_have_null_ratios(spark, zero_dir):
+    stats = all_specs()["text_token_stats"].fn(spark, zero_dir).collect()
+    assert all(r["n_tokens"] == 0 and r["avg_token_len"] is None for r in stats)
+    qual = all_specs()["text_quality_score"].fn(spark, zero_dir).collect()
+    assert all(
+        r["ttr"] is None and r["stopword_ratio"] is None and r["quality_score"] is None
+        for r in qual
+    )
+
+
 def test_zero_norm_vectors_are_defined_out(spark, constant_dir):
     """All six fixture vectors are zero-norm, so the unit relation is empty
     and every cosine query returns zero rows (not NaN rows, not a crash)."""
