@@ -743,6 +743,14 @@ def main() -> None:
                 "r6 re-baseline: text_ml_pipeline_tfidf and sim_brp_lsh_ml "
                 "(non-HEADLINE) carry a fixed isEmpty() guard cost since r6 "
                 "— their driver timings are not comparable to r5 and earlier",
+                "late-r8 re-run after the degenerate-input fix batches: the "
+                "cold-JVM canary medians ran 15-50% slower than the early-r8 "
+                "run on identical canary code, and per-query medians drifted "
+                "+6..28% on UNTOUCHED queries (two others -10..14%) — "
+                "environment drift dominates this delta. The four headline "
+                "queries that gained a zero-norm filter moved within that "
+                "same envelope (sim_ann_srp -3.9%, sim_ann_srp_banded +2.8%),"
+                " i.e. the guard predicate has no measurable cost",
             ],
             "sf": sf_val,
             "text_curation_cold_sec": curation_cold,
