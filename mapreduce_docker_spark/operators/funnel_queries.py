@@ -612,10 +612,12 @@ ANOMALY_Z = 2.0
       FROM daily
     ),
     z AS (
+      -- zero variance (>=2 days at the SAME rounded total, e.g. a fixed
+      -- daily quota) has no z-score: NULL, never a divide (r8 probe class)
       SELECT event_type, d, daily_total,
-             {rsql(
+             CASE WHEN (sq - s * s / n) > 0 THEN {rsql(
                  "(daily_total - mu) / sqrt((sq - s * s / n) / (n - 1))", 4
-             )} AS zscore
+             )} END AS zscore
       FROM stats WHERE n > 1
     )
     SELECT event_type, d AS event_date, daily_total, zscore,
@@ -650,9 +652,16 @@ def events_daily_anomaly_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("daily_total") * F.col("daily_total")).over(w).alias("sq"),
         F.sum("daily_total").over(w).alias("s"),
     ).filter(F.col("n") > 1)
+    # zero variance across the type's days -> NULL z (oracle CASE matches);
+    # the variance term is identical arithmetic on both engines (rounded
+    # daily totals in), so the > 0 cut agrees bit-for-bit
+    var_num = F.col("sq") - F.col("s") * F.col("s") / F.col("n")
     z = dround(
-        (F.col("daily_total") - F.col("mu"))
-        / F.sqrt((F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)),
+        F.when(
+            var_num > 0,
+            (F.col("daily_total") - F.col("mu"))
+            / F.sqrt(var_num / (F.col("n") - 1)),
+        ),
         4,
     )
     return stats.select(

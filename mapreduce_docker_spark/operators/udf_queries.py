@@ -121,12 +121,24 @@ def udf_pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-language length z-score, population stddev (ddof=0)."""
+    """Per-language length z-score, population stddev (ddof=0).
+
+    Degenerate contract (r8 probe class): a zero-variance group and a NULL
+    text both yield SQL NULL — emitted as object-dtype None so Arrow
+    converts to null, matching the oracle's CASE/NULL-propagation (a NaN
+    here would value-hash-mismatch the oracle's NULL)."""
     n = pdf["text"].str.len().astype("float64")
     std = n.std(ddof=0)
-    z = (n - n.mean()) / std if std > 0 else n * float("nan")
+    if std > 0:
+        z = ((n - n.mean()) / std).round(4)
+    else:
+        z = pd.Series(float("nan"), index=n.index)
     return pd.DataFrame(
-        {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "len_z": z.round(4)}
+        {
+            "doc_id": pdf["doc_id"],
+            "lang": pdf["lang"],
+            "len_z": z.astype(object).where(z.notna(), None),
+        }
     )
 
 
@@ -134,8 +146,10 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     "udf_applyinpandas_zscore",
     """
     SELECT doc_id, lang,
-           round((length(text) - avg(length(text)) OVER (PARTITION BY lang))
-                 / stddev_pop(length(text)) OVER (PARTITION BY lang), 4) AS len_z
+           CASE WHEN stddev_pop(length(text)) OVER (PARTITION BY lang) > 0
+                THEN round((length(text) - avg(length(text)) OVER (PARTITION BY lang))
+                           / stddev_pop(length(text)) OVER (PARTITION BY lang), 4)
+           END AS len_z
     FROM documents
     """,
     section="U6",

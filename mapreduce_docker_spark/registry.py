@@ -207,9 +207,13 @@ def _load_all() -> None:
 # agg_stats_quantity_price, orders_mom_revenue_growth,
 # parts_abc_classification, text_token_stats, text_quality_score,
 # text_tfidf_pair_cosine, wordcount_rdd, text_ml_pipeline_tfidf,
-# sketch_kll_value_quantiles, multimodal_resize — then the stale_report
-# freshness rotation (26 remaining r4-era names, r5-era cohort behind
-# them).
+# sketch_kll_value_quantiles, multimodal_resize,
+# events_daily_anomaly_zscores + udf_applyinpandas_zscore (zero-variance
+# z-scores are NULL on both engines — the funnel lane threw under ANSI
+# on >=2 days at the same rounded total; the pandas lane emitted NaN
+# where the oracle had NULL, a latent value-hash mismatch) — then the
+# stale_report freshness rotation (26 remaining r4-era names, r5-era
+# cohort behind them).
 _PRIORITY_WINDOW = (
     # --- standing canaries ---
     "wordcount",

@@ -255,6 +255,43 @@ def test_all_null_kll_group_yields_null_quantiles(spark, null_dir):
     )
 
 
+def test_zero_variance_zscores_are_null(spark, constant_dir, tmp_path):
+    """Zero variance with n >= 2 (a fixed daily quota, a single-length
+    corpus) has no z-score: NULL on both lanes, never a divide. The
+    constant fixture exercises the pandas lane (6 identical texts -> one
+    zero-variance lang group); the funnel lane needs >= 2 DAYS at the same
+    rounded total, built here explicitly."""
+    specs = all_specs()
+    pz = specs["udf_applyinpandas_zscore"].fn(spark, constant_dir).collect()
+    assert len(pz) == 6 and all(r["len_z"] is None for r in pz)
+
+    base = str(tmp_path / "twoday")
+    from mapreduce_docker_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SRC, "events").limit(2).select(
+        *[
+            F.col(c)
+            for c in load_table(spark, SRC, "events").columns
+            if c not in ("ts", "value", "event_type")
+        ],
+        F.lit("click").alias("event_type"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0,"
+            " CAST(monotonically_increasing_id() % 2 AS INT), 0, 0, 0)"
+        ).alias("ts"),
+        F.lit(5.0).alias("value"),
+    )
+    for t in TABLES:
+        src = spark.read.parquet(os.path.join(SRC, f"{t}.parquet")).limit(2)
+        d = ev if t == "events" else src
+        d.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, f"{t}.parquet")
+        )
+    fz = specs["events_daily_anomaly_zscores"].fn(spark, base).collect()
+    assert len(fz) == 2  # n > 1 keeps the rows; the z-score is what's NULL
+    assert all(r["zscore"] is None and r["is_anomaly"] is None for r in fz)
+
+
 def test_growth_off_zero_base_is_null(spark, zero_dir):
     rows = all_specs()["orders_mom_revenue_growth"].fn(spark, zero_dir).collect()
     assert rows and all(r["mom_growth"] is None for r in rows)
