@@ -338,6 +338,84 @@ def test_corr_is_null_on_zero_variance_group(spark, constant_dir):
     assert rows[0]["q_stddev"] == 0.0
 
 
+# ---------------------------------------------------------------------------
+# Cross-engine parity ON the degenerate fixtures: the per-round gate only
+# runs the oracles against the REAL fixture, so the degenerate branches of
+# the r8 CASE guards / WHERE filters would otherwise never be value-compared.
+# Same normalizer as the driver replica (tools/vanilla_gate.py).
+# ---------------------------------------------------------------------------
+
+_DEGEN_PARITY = {
+    "constant_dir": [
+        "agg_stats_quantity_price",  # corr NULL on zero variance
+        "sim_cosine_topk",  # zero-norm unit relation empty on both engines
+        "dedup_embedding_pairs",
+        "udf_applyinpandas_zscore",  # zero-variance group -> NULL
+        "agg_histogram_totalprice",  # min==max point bucket
+    ],
+    "zero_dir": [
+        "orders_mom_revenue_growth",
+        "parts_abc_classification",
+        "text_token_stats",
+        "text_quality_score",
+        "text_tfidf_pair_cosine",
+    ],
+    "null_dir": [
+        "wordcount_rdd",
+        "multimodal_meta_by_source",
+        "multimodal_features",
+        "multimodal_resize",
+        "udf_applyinpandas_zscore",  # NULL text rows -> NULL z on both
+        "events_daily_anomaly_zscores",
+    ],
+}
+
+
+def _assert_oracle_parity_on(spark, fixture_dir, name):
+    import duckdb
+
+    from tools.vanilla_gate import normalize
+
+    spec = all_specs()[name]
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            # the degenerate fixtures are Spark-written DIRECTORIES
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{fixture_dir}/{t}.parquet/*.parquet')"
+            )
+        sdf = spec.fn(spark, fixture_dir)
+        srows, scols = sdf.collect(), sdf.columns
+        ores = con.execute(spec.sql)
+        ocols = [d[0] for d in ores.description]
+        orows = ores.fetchall()
+    finally:
+        con.close()
+    assert sorted(scols) == sorted(ocols), f"{name}: column names differ"
+    assert len(srows) == len(orows), (
+        f"{name}: rows {len(srows)} vs oracle {len(orows)}"
+    )
+    assert normalize([tuple(r) for r in srows], scols) == normalize(
+        orows, ocols
+    ), f"{name}: degenerate-branch values diverge from the oracle"
+
+
+@pytest.mark.parametrize("name", _DEGEN_PARITY["constant_dir"])
+def test_degenerate_oracle_parity_constant(spark, constant_dir, name):
+    _assert_oracle_parity_on(spark, constant_dir, name)
+
+
+@pytest.mark.parametrize("name", _DEGEN_PARITY["zero_dir"])
+def test_degenerate_oracle_parity_zero(spark, zero_dir, name):
+    _assert_oracle_parity_on(spark, zero_dir, name)
+
+
+@pytest.mark.parametrize("name", _DEGEN_PARITY["null_dir"])
+def test_degenerate_oracle_parity_null(spark, null_dir, name):
+    _assert_oracle_parity_on(spark, null_dir, name)
+
+
 def test_foreachbatch_sink_reads_back_directory_fixture(spark, constant_dir):
     rows = (
         all_specs()["streaming_foreachbatch_sink"].fn(spark, constant_dir).collect()
