@@ -211,9 +211,19 @@ def _load_all() -> None:
 # events_daily_anomaly_zscores + udf_applyinpandas_zscore (zero-variance
 # z-scores are NULL on both engines — the funnel lane threw under ANSI
 # on >=2 days at the same rounded total; the pandas lane emitted NaN
-# where the oracle had NULL, a latent value-hash mismatch) — then the
-# stale_report freshness rotation (26 remaining r4-era names, r5-era
-# cohort behind them).
+# where the oracle had NULL, a latent value-hash mismatch), and the
+# streaming wrappers whose memory-sink query names went uuid->fixed
+# (judge-r8 review: a fresh uuid per call pinned every prior run's
+# result rows in driver memory; fixed names are replaced on rerun) —
+# oracle-carrying among them: streaming_static_enrichment,
+# streaming_incremental_minhash_dedup (in-window
+# streaming_dedup_native_keys re-certifies in r8). The staging promote
+# also moved from rename-recovery to a digest-keyed flock after the
+# review found a window where a promoter could move a concurrently
+# promoted dir aside; _stage_bucketed_once now shares _write_once's
+# protocol instead of carrying a diverging copy. Then the stale_report
+# freshness rotation (26 remaining r4-era names, r5-era cohort behind
+# them).
 _PRIORITY_WINDOW = (
     # --- standing canaries ---
     "wordcount",

@@ -335,9 +335,10 @@ def test_bucketed_staging_safe_across_concurrent_processes(tmp_path):
     env = dict(os.environ, TMPDIR=str(tmp_path / "stage"))
     (tmp_path / "stage").mkdir()
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = r"""
 import json, sys
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, %r)
 from pyspark.sql import SparkSession
 
 spark = (
@@ -354,7 +355,7 @@ from mapreduce_docker_spark.operators.layout_queries import (
 rows = q_layout_bucketed_join_revenue(spark, %r).orderBy("c_mktsegment").collect()
 print("ROWS_JSON:" + json.dumps([[r[0], r[1], float(r[2])] for r in rows]))
 spark.stop()
-""" % (SF,)
+""" % (repo, SF)
     procs = [
         subprocess.Popen(
             [_sys.executable, "-c", script],
@@ -391,9 +392,10 @@ def test_write_once_staging_safe_across_concurrent_processes(tmp_path):
     env = dict(os.environ, TMPDIR=str(tmp_path / "stage"))
     (tmp_path / "stage").mkdir()
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = r"""
 import json, sys
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, %r)
 from pyspark.sql import SparkSession
 
 spark = (
@@ -416,7 +418,7 @@ rows = (
 )
 print("ROWS_JSON:" + json.dumps([[str(r[0]), r[1], r[2], r[3], float(r[4])] for r in rows]))
 spark.stop()
-""" % (SF,)
+""" % (repo, SF)
     procs = [
         subprocess.Popen(
             [_sys.executable, "-c", script],
