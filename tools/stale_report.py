@@ -80,7 +80,19 @@ def main() -> None:
     for name in registry._REGISTRY:
         by_round[clean.get(name, (0, ""))[0]].append(name)
 
-    never_clean = sorted(n for n in registry._REGISTRY if n not in clean)
+    # conclusively-closed harness limitations are NOT rotation priority:
+    # their window slots are guaranteed crashes (registry._DRIVER_UNVERIFIABLE
+    # records the evidence; judge-r8 next-round #2)
+    unverifiable = getattr(registry, "_DRIVER_UNVERIFIABLE", {})
+    never_clean = sorted(
+        n for n in registry._REGISTRY if n not in clean and n not in unverifiable
+    )
+    if unverifiable:
+        print(f"DRIVER-UNVERIFIABLE (harness) ({len(unverifiable)}) — closed, do NOT rotate in:")
+        for n in sorted(unverifiable):
+            rows = f"  [ERR rows r{dirty[n][0]}]" if n in dirty else ""
+            print(f"  {n}{rows}  — {unverifiable[n][:100]}...")
+        print()
     if never_clean:
         print(f"NEVER CLEAN ({len(never_clean)}) — rotate in with priority:")
         for n in never_clean:
