@@ -49,7 +49,10 @@ def salted_aggregate(
 
     ``aggs`` maps output column -> (input column, op) with op in
     {sum, count, min, max}; these are the re-aggregatable ops (avg must be
-    decomposed into sum+count by the caller). Round 1 groups by
+    decomposed into sum+count by the caller). ``("*", "count")`` counts
+    ROWS (SQL count(*)); ``(col, "count")`` counts non-NULL values of that
+    column (SQL count(col)) — the two diverge the moment the column is
+    nullable, so pick deliberately. Round 1 groups by
     (keys + salt) — the hot key's billions of rows reduce to ``n_salt``
     partials; round 2 combines partials per key.
     """
@@ -57,12 +60,15 @@ def salted_aggregate(
     for op in (op for _, op in aggs.values()):
         if op not in combine:
             raise ValueError(f"non-re-aggregatable op {op!r}")
+
+    def _expr(col: str, op: str, out: str):
+        if op == "count" and col == "*":
+            return F.count(F.lit(1)).alias(out)
+        return getattr(F, op)(col).alias(out)
+
     salted = df.withColumn("_salt", salt_column(F.col(salt_from), n_salt))
     partial = salted.groupBy(*keys, "_salt").agg(
-        *[
-            getattr(F, op)(col).alias(out)
-            for out, (col, op) in aggs.items()
-        ]
+        *[_expr(col, op, out) for out, (col, op) in aggs.items()]
     )
     return partial.groupBy(*keys).agg(
         *[
@@ -107,14 +113,18 @@ def salted_join(
     GROUP BY user_id
     """,
     section="A7,ST4",
-    note="salted two-round aggregation (16 salts from xxhash64(event_id)); result identical to plain GROUP BY — the oracle proves salt-invariance",
+    note="salted two-round aggregation (16 salts from xxhash64(event_id)); "
+    "result identical to plain GROUP BY — the oracle proves salt-invariance. "
+    "n_events counts ROWS (count(*), matching the oracle): the r9 crafted "
+    "truth showed count(event_id) would silently skip NULL-keyed rows — a "
+    "divergence the fixture (non-null ids) could never surface",
 )
 def skew_salted_user_value_sums(spark, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     agg = salted_aggregate(
         ev,
         keys=["user_id"],
-        aggs={"n_events": ("event_id", "count"), "_raw_total": ("value", "sum")},
+        aggs={"n_events": ("*", "count"), "_raw_total": ("value", "sum")},
         salt_from="event_id",
         n_salt=16,
     )

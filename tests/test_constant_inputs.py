@@ -74,6 +74,9 @@ PROBE = [
     "events_daily_anomaly_zscores",
     "agg_stats_by_segment",
     "parts_abc_classification",
+    # --- r9 new query: the state-expiry streaming dedup must survive a
+    # one-day constant fixture (single micro-batch, no expiry possible) ---
+    "streaming_dedup_expiry_keys",
 ]
 
 

@@ -44,6 +44,9 @@ PROBE = [
     "text_tfidf_pair_cosine",
     "merge_upsert_orders",
     "graph_triangle_stats",
+    # r9: empty events -> empty staged day files -> a zero-batch stream
+    # must still create its (empty) memory sink, not crash on read-back
+    "streaming_dedup_expiry_keys",
 ]
 
 
