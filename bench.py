@@ -742,6 +742,15 @@ def main() -> None:
             else _text_throughput(spark, 1000)
         )
         dedup_scaling = _dedup_scaling_probe(spark)
+        # stop the suite JVM BEFORE the graph subprocess: nothing after this
+        # point touches the session, and the resident suite JVM (plus its
+        # accumulated cache/checkpoint/shuffle state) measurably contaminates
+        # the subprocess's big ladder points — r9 measured the in-bench
+        # copurchase x16 at 22-33 s across rounds vs 6-8 s for the IDENTICAL
+        # subprocess run alone (wedge counts linear, cpu probes flat both
+        # ways; an idle fresh JVM neighbor does NOT reproduce it). The
+        # isolated number is the real one; make the bench measure it.
+        spark.stop()
         graph_scaling = _run_graph_scaling()
 
         sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
