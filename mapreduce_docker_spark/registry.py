@@ -276,6 +276,7 @@ _OPTIONAL_MODULE_QUERIES: dict[str, frozenset[str]] = {
             "multimodal_features",
             "multimodal_resize",
             "multimodal_frame_stats",
+            "multimodal_bmp_decode_stats",
         }
     ),
     "mapreduce_docker_spark.streaming.window_queries": frozenset(

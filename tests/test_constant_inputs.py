@@ -199,6 +199,9 @@ NULL_PROBE = [
     "multimodal_resize",
     "multimodal_frame_stats",
     "multimodal_meta_by_source",
+    # staging reads doc_id only, so NULL text must not disturb the BMP
+    # decode lane (r10): 64 ids -> 64 decoded rows, no crash
+    "multimodal_bmp_decode_stats",
     "text_ml_pipeline_tfidf",
     "sketch_kll_value_quantiles",
     "wordcount",  # the declarative twin must agree: NULL text, no tokens

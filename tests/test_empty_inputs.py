@@ -47,6 +47,9 @@ PROBE = [
     # r9: empty events -> empty staged day files -> a zero-batch stream
     # must still create its (empty) memory sink, not crash on read-back
     "streaming_dedup_expiry_keys",
+    # r10: empty documents -> zero staged BMPs -> binaryFile over a dir
+    # holding only _SUCCESS must yield a typed empty relation, not throw
+    "multimodal_bmp_decode_stats",
 ]
 
 

@@ -141,6 +141,11 @@ KNOWN: dict[str, tuple[frozenset[str], str]] = {
     "multimodal_features": (frozenset({"pandas-grouped"}), "U5 mapInPandas"),
     "multimodal_resize": (frozenset({"pandas-grouped"}), "U5 mapInPandas"),
     "multimodal_frame_stats": (frozenset({"pandas-grouped"}), "U5 mapInPandas"),
+    "multimodal_bmp_decode_stats": (
+        frozenset({"pandas-grouped"}),
+        "U5 mapInPandas: REAL BMP pixel decode is inherently Python "
+        "(Arrow-batched, one decode call per payload)",
+    ),
     "udf_pandas_saturation": (frozenset({"arrow-scalar-udf"}), "U6 scalar pandas_udf"),
 }
 
