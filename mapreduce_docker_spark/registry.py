@@ -114,65 +114,53 @@ def _load_all() -> None:
 # oracle-proven string twin agg_collect_order_keys stays pytest-pinned
 # (tests/test_registry.py) and tools/vanilla_gate.py passes it rows-only.
 #
-# Round 9 window, derived from the verdict-aware tools/stale_report.py
-# output (never hand-edited), judge-r8 next-round #1/#3:
+# Round 9 window (archived summary; full rationale in git history at tag
+# b70f140): 5 canaries + 25 late-r8 engine-path re-certs (zero-norm cosine
+# family, _write_once staging family, ANSI/degenerate contract fixes,
+# renamed streaming sinks) + 17 r4-era freshness names + 2 staging-hygiene
+# re-certs + the NEW streaming_dedup_expiry_keys. Result: 47/47
+# full-oracle green, 3 rows-only clean, zero failures (CORRECTNESS_r09).
+#
+# Round 10 window, derived from the verdict-aware tools/stale_report.py
+# output (never hand-edited), judge-r9 next-round #1:
 #   * 5 standing canaries (wordcount, q1, dedup_minhash_pairs,
 #     window_running_spend, events_sessionize);
-#   * 25 late-r8 OUT-of-window engine-path changes whose driver rows
-#     predate the code (the r8 degenerate-input fix batches landed after
-#     the r8 window froze; enumerated in the r8 rotation note and by
-#     judge-r8 #1):
-#       - zero-norm cosine family (filter sq_sum > 0 on BOTH engines):
-#         sim_cosine_topk, sim_cosine_topk_pandas, sim_ann_srp,
-#         sim_ann_srp_banded, sim_ann_ivf, sim_ann_ivf_stored (the other
-#         three members — sim_label_cohesion, dedup_embedding_clusters,
-#         emb_vector_store_build — were in-window and re-certified r8);
-#       - _write_once flock-promoted staging family:
-#         layout_partition_pruned_events, docs_ndjson_roundtrip,
-#         events_orc_roundtrip, merge_upsert_orders,
-#         merge_upsert_orders_incremental (zorder + bucketed were
-#         in-window and re-certified r8);
-#       - ANSI / degenerate-contract fixes: agg_stats_quantity_price
-#         (corr rebuilt from co-moments), orders_mom_revenue_growth,
-#         parts_abc_classification, text_token_stats, text_quality_score,
-#         text_tfidf_pair_cosine, wordcount_rdd (NULL-text contract),
-#         text_ml_pipeline_tfidf, sketch_kll_value_quantiles (empty-
-#         sketch guard), multimodal_resize (NULL-asset contract),
-#         events_daily_anomaly_zscores + udf_applyinpandas_zscore
-#         (zero-variance z-scores NULL on both engines; the pandas lane
-#         NaN-vs-NULL was a latent value-hash mismatch);
-#       - streaming wrappers whose memory-sink names went uuid->fixed
-#         (judge-r8 review: driver-memory leak): streaming_static_enrichment,
-#         streaming_incremental_minhash_dedup;
-#   * 17 freshness slots = the remaining r4-era names from stale_report
-#     EXCEPT wordcount_tsv_roundtrip, wordcount_console_top20 and
-#     udf_cogroup_user_conversion (6 of the 26 r4-era names are already
-#     among the 25 above; those three are displaced to r10 by the slots
-#     below);
-#   * 2 re-cert slots for layout_zorder_events +
-#     layout_bucketed_join_revenue: r8-certified, but the r9 ADVICE fix
-#     gave _write_once/_stage_bucketed_once orphan hygiene (try/finally
-#     tmp cleanup + dead-pid corpse sweep under the flock), which is
-#     their staging path — window discipline re-certifies them rather
-#     than reasoning the change is failure-path-only;
-#   * 1 NEW query (judge-r8 optional #8, registered before the freeze):
-#     streaming_dedup_expiry_keys — dropDuplicatesWithinWatermark with
-#     delay (10 h) NARROWER than the fixture span on a staged
-#     day-bucketed fixture, exercising the state-expiry branch the r8
-#     wide-delay query provably cannot, with a SHARP full oracle
-#     (DISTINCT keys on day_idx %% 3 == 0 days; without expiry each key
-#     would emit once and the row count itself would mismatch — see
-#     stream_demo.run_dedup_expiry_keys_stream for the determinism
-#     argument under the measured N-2 watermark lag).
-# 5 + 25 + 17 + 2 + 1 = 50 (one name, events_daily_anomaly_zscores, is
-# counted in the 25 and ALSO re-certifies this round's variance-cut
-# rounding — allowed: it is in the window). Still stale after this
-# window (rotate r10): wordcount_tsv_roundtrip, wordcount_console_top20,
-# udf_cogroup_user_conversion (r4) + the r5-era cohort (42 names) = 46
-# names against 45 free r10 slots — the overflow (one r5 name) rolls to
-# r11. Regenerate with tools/stale_report.py, do not hand-edit.
-# r9 fix queue: EMPTY — no engine-path changes are owed re-certification
-# beyond the names already in this window.
+#   * 3 r4-era names displaced from the r9 window by its engine-path
+#     re-certs (wordcount_tsv_roundtrip, wordcount_console_top20,
+#     udf_cogroup_user_conversion) — after this window NOTHING in the
+#     driver record is older than r5;
+#   * 29 r5-era names = the ENTIRE r5 freshness cohort per stale_report.
+#     (The r9 note planned "42 r5-era names" — that arithmetic was wrong,
+#     judge-r9 ADVICE #2: the r5 cohort is 29 names; the 42-name cohort
+#     is r6-era. With 29 + 3 the window does NOT overflow and no name
+#     rolls to r11 from these groups.) Crafted truths for the trap-prone
+#     members were pre-written THIS round before the freeze (judge-r9
+#     #3, tests/test_crafted_truth25-26: first-touch gap equality,
+#     funnel window edges, retention Monday weeks, gap-fill global
+#     bounds, LTV skipped offsets, winsorize cut lines, skew rank-5 tie,
+#     basket distinct collapse);
+#   * 1 re-cert slot for streaming_dedup_expiry_keys: r9-certified, but
+#     the r10 ADVICE fix rebuilt its staged ticker from a generated
+#     full-calendar sequence (gap-robust; staging key expiry_days ->
+#     expiry_days_cal), which is its engine path — window discipline
+#     re-certifies rather than reasoning the fixture is gap-free;
+#   * 1 NEW query (judge-r9 #6, registered before the freeze):
+#     multimodal_bmp_decode_stats — REAL 24-bit BMP pixel decode through
+#     the formerly-stubbed U5 decoder seam (staged .bmp files ->
+#     binaryFile source -> Arrow-batched mapInPandas -> bmp_codec);
+#     rows-only by contract (pixel bytes are not SQL-reproducible),
+#     value-pinned in tests/test_multimodal.py by a codec-free
+#     recomputation from the synthesized pixel law;
+#   * 11 r6-era freshness names = the first 9 of the 42-name r6 cohort
+#     in stale_report's sorted order + q2_min_cost_supplier and
+#     q22_global_sales_opportunity, pulled ahead of their alphabetical
+#     turn because their crafted truths (tie multiplicity at the Q2
+#     minimum, Q22 balance exactly at the average) were pre-written this
+#     round — the hand-truth-first rotation pattern. The remaining 31
+#     r6 names roll to r11.
+# 5 + 3 + 29 + 1 + 1 + 11 = 50.
+# r10 fix queue: EMPTY — the only engine-path changes this round
+# (expiry ticker staging, the new BMP query) are in-window above.
 _PRIORITY_WINDOW = (
     # --- standing canaries ---
     "wordcount",
@@ -180,57 +168,56 @@ _PRIORITY_WINDOW = (
     "dedup_minhash_pairs",
     "window_running_spend",
     "events_sessionize",
-    # --- late-r8 engine-path changes, re-certifying (judge-r8 #1) ---
-    "sim_cosine_topk",
-    "sim_cosine_topk_pandas",
-    "sim_ann_srp",
-    "sim_ann_srp_banded",
-    "sim_ann_ivf",
-    "sim_ann_ivf_stored",
-    "layout_partition_pruned_events",
-    "docs_ndjson_roundtrip",
-    "events_orc_roundtrip",
-    "merge_upsert_orders",
-    "merge_upsert_orders_incremental",
-    "agg_stats_quantity_price",
-    "orders_mom_revenue_growth",
-    "parts_abc_classification",
-    "text_token_stats",
-    "text_quality_score",
-    "text_tfidf_pair_cosine",
-    "wordcount_rdd",
-    "text_ml_pipeline_tfidf",
-    "sketch_kll_value_quantiles",
-    "multimodal_resize",
-    "events_daily_anomaly_zscores",
-    "udf_applyinpandas_zscore",
-    "streaming_static_enrichment",
-    "streaming_incremental_minhash_dedup",
-    # --- freshness: r4-era names (stale_report; r4 era clears but for
-    # wordcount_tsv_roundtrip, displaced by the new expiry query) ---
-    "q21_waiting_suppliers_onepass",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "range_join_events_in_order_window",
-    "sample_stratified_hash",
-    "sample_temperature_mix",
-    "skew_salted_user_value_sums",
-    "text_bpe_token_stats",
-    "text_bpe_top_pieces",
-    "text_curation_pipeline",
-    "text_decontaminate_ngram",
-    "text_langid_nb",
-    "text_pack_sequences",
-    "text_tfidf_top_term",
-    "text_train_val_split",
-    "text_training_shards",
-    "text_unigram_surprisal",
-    # --- _write_once orphan-hygiene change (r9 ADVICE fix) also touches
-    # the staging path of these two r8-certified queries; re-certify ---
-    "layout_zorder_events",
-    "layout_bucketed_join_revenue",
-    # --- NEW r9 query (judge-r8 optional #8) ---
+    # --- r4-era names displaced from the r9 window ---
+    "wordcount_tsv_roundtrip",
+    "wordcount_console_top20",
+    "udf_cogroup_user_conversion",
+    # --- the full r5-era freshness cohort (stale_report) ---
+    "agg_winsorized_value_stats",
+    "basket_part_pairs_lift",
+    "bloom_benchmark_filter",
+    "dedup_cluster_survivorship",
+    "dedup_pair_similarity_report",
+    "dq_key_skew_report",
+    "emb_norm_profile",
+    "events_compact_latest",
+    "events_daily_gapfill_locf",
+    "events_first_touch_attribution",
+    "events_funnel_within_window",
+    "events_retention_cohorts",
+    "events_rolling_7d_active_users",
+    "events_rolling_7d_hll",
+    "graph_degree_distribution",
+    "graph_triangle_stats",
+    "lineitem_ship_latency",
+    "orders_cohort_ltv",
+    "psapi_priority_order_stats",
+    "sketch_theta_type_overlap",
+    "sql_lateral_top2_orders",
+    "streaming_sessionize",
+    "text_bigram_surprisal",
+    "text_char_entropy",
+    "text_decontaminate_bloom",
+    "text_length_buckets",
+    "text_source_kl_divergence",
+    "text_zipf_slope",
+    "udf_udtf_analyze_trigrams",
+    # --- full-calendar ticker staging change (r10 ADVICE fix): re-cert ---
     "streaming_dedup_expiry_keys",
+    # --- NEW r10 query (judge-r9 #6) ---
+    "multimodal_bmp_decode_stats",
+    # --- r6-era freshness: first 9 sorted + the 2 crafted-truth-primed ---
+    "agg_approx_distinct_tolerance",
+    "agg_cube_status_priority",
+    "agg_grouping_sets_status_priority",
+    "agg_rollup_region_nation",
+    "agg_stats_by_segment",
+    "array_embedding_stats",
+    "dedup_chain_within_delay",
+    "distinct_customer_status_pairs",
+    "events_tumbling_10m",
+    "q2_min_cost_supplier",
+    "q22_global_sales_opportunity",
 )
 
 
