@@ -701,6 +701,11 @@ def events_daily_anomaly_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact twin. This is the concrete form of the mergeability swap the "
         "exact query's note promises"
     ),
+    pin=(
+        "tolerance: HLL rolling-distinct estimate within 5% of the exact "
+        "oracle-proven twin events_rolling_7d_active_users "
+        "(tests/test_funnel.py)"
+    ),
 )
 def events_rolling_7d_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily_sk = (

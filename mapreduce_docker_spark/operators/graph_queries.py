@@ -240,6 +240,11 @@ def q_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "localCheckpoint (the connected-components discipline); rows-only "
         "because distributed float addition is partition-order dependent"
     ),
+    pin=(
+        "third-engine: numpy power-iteration recompute within float "
+        "tolerance + plan pin on the iteration join "
+        "(tests/test_graph.py::test_pagerank_matches_numpy_power_iteration)"
+    ),
 )
 def q_graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_top20(_symmetrized_purchase_edges(spark, sf_dir))

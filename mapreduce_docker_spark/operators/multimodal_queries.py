@@ -138,6 +138,11 @@ def _stage_bmp_assets(spark: SparkSession, sf_dir: str) -> str:
         "tested in-container implementation; PIL/ffmpeg formats stay "
         "injectable through the same callback."
     ),
+    pin=(
+        "third-engine: full query output recomputed codec-free from the "
+        "synth_pixels content law + golden hand-written BMP byte layout "
+        "(tests/test_multimodal.py::test_bmp_decode_stats_matches_codec_free_recompute)"
+    ),
 )
 def multimodal_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = _stage_bmp_assets(spark, sf_dir)
@@ -162,6 +167,12 @@ def multimodal_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # mapInPandas frame slicing; deterministic but kept rows-only to exercise the weaker check path
     section="U5,U6",
     note="one-to-many frame sampling stub (asset -> byte-slice 'frames') via mapInPandas",
+    pin=(
+        "twin-equality: frame slicing recomputed per doc in the test "
+        "(frame count/order/coverage over the payload law) against the "
+        "oracle-proven asset relation "
+        "(tests/test_multimodal.py::test_frame_sample_covers_payload)"
+    ),
 )
 def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = mm.with_binary_payload(load_table(spark, sf_dir, "documents"))

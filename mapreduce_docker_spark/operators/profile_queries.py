@@ -76,6 +76,11 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # HLL++ estimates are engine-specific -> rows-only
     section="A7,U4",
     note="100 TB twin of profile_orders_columns: approx_count_distinct (HLL++, rsd=0.01) per column in ONE pass with no Expand — mergeable sketch state instead of the exact multi-stream distinct; estimate-vs-exact tolerance pinned in tests/test_sketches.py",
+    pin=(
+        "tolerance: per-column approx_count_distinct vs the exact "
+        "oracle-proven twin profile_orders_columns "
+        "(tests/test_sketches.py)"
+    ),
 )
 def profile_orders_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_table(spark, sf_dir, _PROFILE_TABLE)

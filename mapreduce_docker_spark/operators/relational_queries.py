@@ -987,6 +987,10 @@ def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # HyperLogLog++ estimate: deterministic per engine, not across engines
     section="A4",
     note="approx_count_distinct (HLL++, rsd=0.01) beside the exact count — the scalable variant SURVEY A4 calls for; rows-only check, pinned vs exact in tests",
+    pin=(
+        "tolerance: HLL++ rsd=0.01 estimate vs exact count_distinct "
+        "(tests/test_sketches.py::test_approx_count_distinct_tracks_exact)"
+    ),
 )
 def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _t(spark, sf_dir, "events")
@@ -1004,6 +1008,11 @@ def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "across types): the pre-aggregated-sketch-column pattern — at scale the "
     "per-segment sketches are materialized once and every later rollup merges "
     "bytes instead of re-scanning raw events; rows-only, pinned vs exact in tests",
+    pin=(
+        "tolerance: sketch-union estimate vs exact distinct-over-union + "
+        "merge law "
+        "(tests/test_sketches.py::test_hll_sketch_union_tracks_exact)"
+    ),
 )
 def agg_hll_sketch_union_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _t(spark, sf_dir, "events")
@@ -1482,6 +1491,13 @@ def agg_collect_order_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # array<bigint> output is not hashable by the driver's canonicalizer
     section="A7,F:array",
     note="array-typed twin of agg_collect_order_keys: keeps the native ArrayType output exercised (rows-only); value equivalence to the canonical string form is pinned in tests/test_oracle_parity.py",
+    pin=(
+        "twin-equality: value-equal to the oracle-proven string twin "
+        "agg_collect_order_keys (tests/test_oracle_parity.py, "
+        "tests/test_registry.py); ALSO driver-unverifiable — harness "
+        "canonicalizer crashes on array cells "
+        "(registry._DRIVER_UNVERIFIABLE)"
+    ),
 )
 def agg_collect_order_keys_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = _t(spark, sf_dir, "orders")
@@ -1561,6 +1577,10 @@ def array_hof_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # sample RNG streams are engine-internal; rows-only + statistical test
     section="P5,ST4",
     note="seeded Bernoulli sample (df.sample fraction=0.1 seed=42) + per-type stratified sampleBy — the bench-on-a-sample primitive at 100 TB; sampling distribution asserted in tests/test_sampling.py",
+    pin=(
+        "statistical: seeded reproducibility, rate bounds and stratum "
+        "fractions (tests/test_sampling.py)"
+    ),
 )
 def sample_events_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _t(spark, sf_dir, "events")
@@ -1751,6 +1771,10 @@ def map_hof_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # sketch output is engine-internal; pinned against exact in tests
     section="A7,A4",
     note="approx_percentile sketch (accuracy 10000) beside the exact percentile — the single-pass bounded-memory quantile for 100 TB; tolerance asserted in tests/test_sketches.py",
+    pin=(
+        "tolerance: approx_percentile(accuracy=10000) vs exact percentile "
+        "(tests/test_sketches.py::test_approx_percentile_tracks_exact)"
+    ),
 )
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = _t(spark, sf_dir, "orders")
@@ -2077,6 +2101,11 @@ def orders_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "answers from KB-scale sketch ops instead of re-scanning events; "
         "rows-only (sketch internals), tolerance-pinned vs exact"
     ),
+    pin=(
+        "tolerance: theta-sketch |A∩B|/|A∪B|/|A\\B| vs exact pair "
+        "overlaps + sketch-algebra merge laws "
+        "(tests/test_sketches.py::test_theta_set_operations_match_exact)"
+    ),
 )
 def sketch_theta_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _t(spark, sf_dir, "events")
@@ -2118,6 +2147,11 @@ def sketch_theta_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "percentile dashboards incremental at 100 TB instead of "
         "re-sorting history; rows-only, tolerance-pinned vs exact "
         "percentiles"
+    ),
+    pin=(
+        "tolerance: KLL p50/p90/p99 vs exact percentiles + day-sketch "
+        "merge law "
+        "(tests/test_sketches.py::test_kll_quantiles_track_exact_and_merge)"
     ),
 )
 def sketch_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -481,6 +481,13 @@ def sim_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # random hyperplanes inside pyspark.ml -> rows-only check
     section="U3,J5",
     note="pyspark.ml BucketedRandomProjectionLSH approxSimilarityJoin (API-parity variant; seeded but not SQL-reproducible)",
+    pin=(
+        "tolerance: every returned pair's distance numpy-recomputed "
+        "bit-exactly from raw embeddings, <= the 2.0 threshold, a<b "
+        "oriented, duplicate-free — LSH prunes candidates, never distorts "
+        "distances "
+        "(tests/test_rowsonly_pins.py::test_brp_lsh_distances_match_numpy_recompute)"
+    ),
 )
 def sim_brp_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
@@ -845,6 +852,11 @@ def sim_ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top-k inside the UDF (combiner-style: k x |queries| rows leave each "
     "batch, not |batch| x |queries|), exact global top-k after; asserted "
     "row-identical to the JVM expression path in tests",
+    pin=(
+        "twin-equality: row-identical to the JVM expression path "
+        "sim_cosine_topk, which carries the full DuckDB oracle "
+        "(tests/test_similarity.py::test_pandas_cosine_twin_matches_jvm_path)"
+    ),
 )
 def sim_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The brief's 'vectorized Pandas UDF' dot-product path, done scale-first.

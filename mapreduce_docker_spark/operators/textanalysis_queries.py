@@ -471,6 +471,12 @@ def text_lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # HashingTF murmur3 bucket ids are Spark-internal; vectors aren't SQL-comparable
     section="U4,U6",
     note="pyspark.ml Pipeline API parity (RegexTokenizer -> StopWordsRemover -> NGram -> HashingTF -> IDF); the SQL-oracle-checked equivalents are text_bigrams_top30/text_tfidf_top_term",
+    pin=(
+        "third-engine: documented-formula recompute — re tokenize, engine "
+        "STOPWORDS, HashingTF.indexOf buckets, idf=ln((m+1)/(df+1)) — "
+        "equals tfidf_mass exactly on a crafted corpus "
+        "(tests/test_rowsonly_pins.py::test_ml_tfidf_pipeline_matches_documented_formula)"
+    ),
 )
 def text_ml_pipeline_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml import Pipeline

