@@ -902,6 +902,15 @@ def main() -> None:
                 "queries that gained a zero-norm filter moved within that "
                 "same envelope (sim_ann_srp -3.9%, sim_ann_srp_banded +2.8%),"
                 " i.e. the guard predicate has no measurable cost",
+                "r10 calibration finding: the isolated-canary machine "
+                "factor zeroes the ISOLATED canaries by construction "
+                "(canary_min_drift_adjusted is the +/-0.05 self-check), but "
+                "cold-JVM and warm-suite drift are NOT the same number — on "
+                "the r10 machine the isolated canary mins ran 21% faster "
+                "than r9 while warm suite medians ran only ~9% faster, so "
+                "adjusted SUITE deltas skew positive by the difference. "
+                "Gate on raw suite medians plus the canary bar; treat "
+                "drift_adjusted suite deltas as attribution hints only",
                 "r9 census-superlinearity attribution (judge-r8 #4): "
                 "copurchase wedge counts are now recorded per ladder point "
                 "and are exactly linear (disjoint replicas: 3.39M/13.5M/"
