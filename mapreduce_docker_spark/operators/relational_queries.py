@@ -755,13 +755,24 @@ def json_variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            CAST(len(embedding) AS INTEGER)                           AS dim,
            floor((CAST(embedding[1] AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0                    AS first_component,
+           -- list_prepend(0.0, ...) seeds the fold: a bare list_reduce
+           -- THROWS on an empty list (r10 degenerate probe), and the CASE
+           -- keeps a NULL array NULL instead of folding the seed alone
+           CASE WHEN embedding IS NULL THEN NULL ELSE
            floor((sqrt(list_reduce(
-             list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-             (a, b) -> a + b))) * 1000000.0 + 0.5) / 1000000.0                                   AS l2_norm
+             list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+             (a, b) -> a + b))) * 1000000.0 + 0.5) / 1000000.0 END                               AS l2_norm
     FROM embeddings
     """,
     section="F:array",
-    note="array surface: size / element access / transform+aggregate fold (the dot-product building block for U3)",
+    note="array surface: size / element access / transform+aggregate fold "
+    "(the dot-product building block for U3). Degenerate contract (r10, "
+    "caught by the crafted-truth probe BEFORE the window froze): a "
+    "zero-length embedding (dead encoder) yields dim 0 / first_component "
+    "NULL / l2_norm 0.0, a NULL embedding yields all-NULL — the original "
+    "getItem(0) THREW INVALID_ARRAY_INDEX under ANSI on empty arrays and "
+    "the oracle's bare list_reduce threw on the same rows; F.get and the "
+    "seeded fold define them instead",
 )
 def array_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = _t(spark, sf_dir, "embeddings")
@@ -773,7 +784,10 @@ def array_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        dround(F.col("embedding")[0].cast("double"), 6).alias("first_component"),
+        # F.get: NULL on out-of-bounds (empty array) where getItem/[0]
+        # throws INVALID_ARRAY_INDEX under ANSI — matches the oracle's
+        # embedding[1] (NULL past the end)
+        dround(F.get("embedding", 0).cast("double"), 6).alias("first_component"),
         dround(F.sqrt(sq_sum), 6).alias("l2_norm"),
     )
 

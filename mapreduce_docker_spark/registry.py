@@ -168,8 +168,15 @@ def _load_all() -> None:
 #     round — the hand-truth-first rotation pattern. The remaining 31
 #     r6 names roll to r11.
 # 5 + 3 + 29 + 1 + 1 + 11 = 50.
-# r10 fix queue: EMPTY — the only engine-path changes this round
-# (expiry ticker staging, the new BMP query) are in-window above.
+# In-round engine fix covered by an existing slot: array_embedding_stats
+# (already a freshness slot above) threw INVALID_ARRAY_INDEX under ANSI
+# on zero-length embeddings and its oracle's bare list_reduce threw on
+# the same rows — caught by the batch-28 crafted-truth probe BEFORE the
+# freeze; both sides now define the contract (F.get + seeded fold,
+# tests/test_crafted_truth28.py) and the slot re-certifies the fix.
+# r10 fix queue: EMPTY — every engine-path change this round (expiry
+# ticker staging, the new BMP query, the array degenerate fix) is
+# in-window above.
 _PRIORITY_WINDOW = (
     # --- standing canaries ---
     "wordcount",
