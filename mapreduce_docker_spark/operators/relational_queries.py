@@ -1559,21 +1559,37 @@ def scalar_interval_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive,
            (len(list_filter(embedding, x -> abs(x) > 0.29)) > 0)    AS has_extreme,
            (len(list_filter(embedding, x -> abs(x) <= 1.0)) = len(embedding)) AS all_bounded,
+           -- CASE keeps a NULL array NULL (list_prepend would fold the
+           -- seed alone -> 0.0, diverging from every other NULL-in
+           -- column); generate_series(1, 0) is empty so a zero-length
+           -- embedding folds to exactly the seed, 0.0 (r10 degenerate
+           -- probe — the engine's old zip_with(e, sequence(1, size))
+           -- built a DESCENDING [1, 0] index on empty arrays and padded
+           -- to NULL, a latent NULL-vs-0.0 divergence)
+           CASE WHEN embedding IS NULL THEN NULL ELSE
            floor(list_reduce(list_prepend(0.0::DOUBLE,
                  list_transform(generate_series(1, len(embedding)),
                                 i -> CAST(embedding[i] AS DOUBLE) * i)),
-                 (a, b) -> a + b) * 10000.0 + 0.5) / 10000.0 AS weighted_sum
+                 (a, b) -> a + b) * 10000.0 + 0.5) / 10000.0 END AS weighted_sum
     FROM embeddings
     """,
     section="F:array",
-    note="higher-order array functions: filter/exists/forall/zip_with-shaped position-weighted fold (exists == filter-len>0 in DuckDB)",
+    note="higher-order array functions: filter/exists/forall/indexed-"
+    "transform position-weighted fold (exists == filter-len>0 in DuckDB). "
+    "Degenerate contract (r10): empty array -> n_positive 0, has_extreme "
+    "false, all_bounded true (vacuous forall), weighted_sum 0.0; NULL "
+    "array -> all NULL. The old zip_with(e, sequence(1, size)) spelling "
+    "broke this: Spark's sequence(1, 0) is the DESCENDING [1, 0], zip_with "
+    "padded the empty side with NULLs and the fold went NULL where the "
+    "oracle said 0.0",
 )
 def array_hof_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = _t(spark, sf_dir, "embeddings")
     e = F.col("embedding")
-    idx = F.sequence(F.lit(1), F.size(e))
+    # transform's 2-arg lambda gets the 0-based index: empty-safe (empty
+    # array -> empty products -> seed 0.0) where sequence(1, size) is not
     weighted = F.aggregate(
-        F.zip_with(e, idx, lambda x, i: x.cast("double") * i),
+        F.transform(e, lambda x, i: x.cast("double") * (i + F.lit(1))),
         F.lit(0.0),
         lambda a, b: a + b,
     )
@@ -1746,19 +1762,23 @@ def agg_stats_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "map_hof_event_props",
     """
-    WITH k AS (
-      SELECT event_id, unnest(json_keys(props)) AS mk, props FROM events
-    ),
-    entries AS (
-      SELECT event_id, upper(mk) AS mk,
-             CAST(json_extract(props, '$.' || mk) AS INTEGER) * 2 AS mv
-      FROM k
-    )
+    -- per-event list expressions, NOT unnest + GROUP BY: the grouped
+    -- spelling silently DROPPED zero-key and NULL-props events that the
+    -- engine's map expressions keep (r10 degenerate probe; invisible on
+    -- the fixture, whose props always carry keys). Contract: empty map
+    -- -> (0, 0, 0); NULL props -> all NULL.
     SELECT event_id,
-           count(*)                                   AS n_keys,
-           CAST(sum(mv) AS BIGINT)                    AS doubled_sum,
-           CAST(sum(CASE WHEN mv > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_large
-    FROM entries GROUP BY event_id
+           CAST(CASE WHEN props IS NULL THEN NULL
+                ELSE len(json_keys(props)) END AS INTEGER) AS n_keys,
+           CASE WHEN props IS NULL THEN NULL ELSE
+             CAST(list_reduce(list_prepend(0, list_transform(json_keys(props),
+                    k -> CAST(json_extract(props, '$.' || k) AS INTEGER) * 2)),
+                  (a, b) -> a + b) AS BIGINT) END          AS doubled_sum,
+           CASE WHEN props IS NULL THEN NULL ELSE
+             CAST(len(list_filter(json_keys(props),
+                    k -> CAST(json_extract(props, '$.' || k) AS INTEGER) * 2 > 100))
+                  AS BIGINT) END                           AS n_large
+    FROM events
     """,
     section="F:map",
     note="map higher-order functions: transform_keys/transform_values/map_filter over the parsed props map, folded to per-event scalars",

@@ -174,9 +174,21 @@ def _load_all() -> None:
 # the same rows — caught by the batch-28 crafted-truth probe BEFORE the
 # freeze; both sides now define the contract (F.get + seeded fold,
 # tests/test_crafted_truth28.py) and the slot re-certifies the fix.
-# r10 fix queue: EMPTY — every engine-path change this round (expiry
-# ticker staging, the new BMP query, the array degenerate fix) is
-# in-window above.
+# r10 fix queue: EMPTY — every engine-path change this round affecting
+# an IN-WINDOW query (expiry ticker staging, the new BMP query, the
+# array_embedding_stats degenerate fix) is in-window above.
+# r11 FIX QUEUE (late-r10 engine-path changes OUTSIDE this window — the
+# r8->r9 precedent; re-certify in the r11 window before freshness
+# slots): array_hof_embeddings (weighted-sum fold rewritten from
+# zip_with(e, sequence(1, size)) — which built Spark's descending
+# [1, 0] on empty arrays and folded to NULL where the oracle said 0.0 —
+# to the indexed transform; oracle gained the NULL-array CASE) and
+# map_hof_event_props (oracle rewritten from unnest + GROUP BY, which
+# dropped zero-key/NULL-props events the engine keeps, to per-event
+# list expressions). Both changes are fixture-invisible (props always
+# carry keys, embeddings are fixed-dim), both are pinned on BOTH
+# engines in tests/test_crafted_truth32.py, and my gate re-run at HEAD
+# proves them at sf0.01 — the window slot makes the driver record agree.
 _PRIORITY_WINDOW = (
     # --- standing canaries ---
     "wordcount",
