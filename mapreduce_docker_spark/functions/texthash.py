@@ -39,23 +39,46 @@ FP_BASE = 31
 
 
 def shingles(tokens_col: Column, k: int = SHINGLE_K) -> Column:
-    """Distinct k-word shingles of a token array (guards short docs)."""
+    """Distinct k-word shingles of a token array (guards short docs).
+
+    ZERO-token docs (empty, whitespace-only, or NULL text) have NO
+    shingles — an empty list, not ``['']`` (r10 degenerate sweep). The
+    old ``otherwise(whole)`` branch gave every contentless doc the same
+    single empty-string shingle via ``concat_ws`` (which turns even a
+    NULL array into ``''``), so all of them band-matched each other as
+    jaccard-1.0 "near-duplicates" — while the oracle's
+    ``list_distinct([NULL])`` accidentally dropped them. The contract is
+    the one this module's bucket-cap note already states: contentless
+    duplicates belong to EXACT dedup upstream; the near-dup relation is
+    defined over docs with at least one token, identically on both
+    engines (the SQL twin now spells its empty branch explicitly).
+    Short-but-nonempty docs (1..k-1 tokens) keep the whole-doc shingle.
+    """
     n = F.size(tokens_col)
     grams = F.transform(
         F.sequence(F.lit(1), n - (k - 1)),
         lambda i: F.concat_ws(" ", F.slice(tokens_col, i, k)),
     )
     whole = F.array(F.concat_ws(" ", tokens_col))
-    return F.array_distinct(F.when(n >= k, grams).otherwise(whole))
+    empty = F.array().cast("array<string>")
+    return F.array_distinct(
+        F.when(n >= k, grams).when(n > 0, whole).otherwise(empty)
+    )
 
 
 def sql_shingles(tokens_expr: str, k: int = SHINGLE_K) -> str:
-    """DuckDB twin of :func:`shingles` (1-based inclusive list slicing)."""
+    """DuckDB twin of :func:`shingles` (1-based inclusive list slicing).
+
+    The zero-token branch is explicit: ``len(NULL)`` is NULL so both
+    WHENs fall through and NULL/empty token arrays yield ``[]`` — the
+    same result the old spelling reached only by the accident of
+    ``list_distinct`` dropping the ``[NULL]`` element."""
     return (
         f"list_distinct(CASE WHEN len({tokens_expr}) >= {k} THEN "
         f"list_transform(generate_series(1, len({tokens_expr}) - {k - 1}), "
         f"i -> array_to_string(({tokens_expr})[i:i+{k - 1}], ' ')) "
-        f"ELSE [array_to_string({tokens_expr}, ' ')] END)"
+        f"WHEN len({tokens_expr}) > 0 THEN [array_to_string({tokens_expr}, ' ')] "
+        f"ELSE [] END)"
     )
 
 

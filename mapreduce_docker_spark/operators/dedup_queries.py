@@ -139,7 +139,7 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_exact_groups",
     f"""
-    WITH d AS (SELECT doc_id, md5(array_to_string({_SQL_TOKS}, ' ')) AS fp FROM documents)
+    WITH d AS (SELECT doc_id, md5(coalesce(array_to_string({_SQL_TOKS}, ' '), '')) AS fp FROM documents)
     SELECT fp, count(*) AS n_docs, min(doc_id) AS keeper
     FROM d GROUP BY fp
     """,
@@ -158,7 +158,7 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_exact_survivors",
     f"""
-    WITH d AS (SELECT doc_id, md5(array_to_string({_SQL_TOKS}, ' ')) AS fp FROM documents)
+    WITH d AS (SELECT doc_id, md5(coalesce(array_to_string({_SQL_TOKS}, ' '), '')) AS fp FROM documents)
     SELECT min(doc_id) AS doc_id FROM d GROUP BY fp
     """,
     section="U1",
@@ -1099,7 +1099,13 @@ def dedup_cluster_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         rep.cast("long").alias("rep_doc_id"),
         F.sum("n_chars").alias("total_chars"),
-        F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs"),
+        # string_agg over an all-NULL lang set is NULL (SQL aggregate
+        # semantics); collect_set just drops NULLs, so guard the empty
+        # set — while a real empty-STRING lang still aggregates to ''
+        F.when(
+            F.size(F.collect_set("lang")) > 0,
+            F.array_join(F.array_sort(F.collect_set("lang")), ","),
+        ).alias("langs"),
     )
 
 
@@ -1169,6 +1175,7 @@ DEDUP_CHAIN_DELAY_US = 86_400_000_000  # 24 h
     WITH RECURSIVE ev AS (
       SELECT event_id, user_id, event_type, epoch_us(ts::TIMESTAMP) AS us
       FROM events
+      WHERE ts IS NOT NULL  -- event-time contract (r10; matches the engine)
     ),
     kept AS (
       SELECT user_id, event_type, min(us) AS us FROM ev GROUP BY 1, 2
@@ -1202,8 +1209,15 @@ DEDUP_CHAIN_DELAY_US = 86_400_000_000  # 24 h
     "this pins the time-ordered semantics with a full value-hash oracle",
 )
 def dedup_chain_within_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "ts", F.unix_micros("ts").alias("us")
+    # event-time contract (r10 degenerate sweep): an event without a
+    # timestamp does not exist for time-chain semantics — the oracle's
+    # recursive min(us) skipped NULLs while the Arrow scanner kept them
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_id", "user_id", "event_type", "ts", F.unix_micros("ts").alias("us")
+        )
     )
     n_part = spark.sparkContext.defaultParallelism
     # ONE exchange: hash-partition by the dedup key, sort within partitions

@@ -64,8 +64,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH a AS (
       SELECT doc_id,
-             array_to_string(list_transform(generate_series(1, length(text), 2),
-               i -> substr(text, CAST(i AS INTEGER), 1)), '') AS small
+             -- coalesce: array_to_string of the EMPTY stride list (a ''
+             -- text) is NULL in DuckDB; the engine's byte slicer yields the
+             -- empty payload (0 bytes, sha256('')) — r10 degenerate sweep
+             coalesce(array_to_string(list_transform(generate_series(1, length(text), 2),
+               i -> substr(text, CAST(i AS INTEGER), 1)), ''), '') AS small
       FROM documents
       WHERE text IS NOT NULL  -- ingestion contract (see with_binary_payload)
     )

@@ -386,7 +386,14 @@ def dq_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.sum("n").over(w).alias("total"),
         F.row_number()
-        .over(Window.partitionBy("key_col").orderBy(F.desc("n"), F.asc("key")))
+        .over(
+            # NULLS LAST explicitly: Spark ASC defaults to NULLS FIRST,
+            # DuckDB to NULLS LAST — a NULL join key would rank above
+            # every real key on one engine only (r10 degenerate sweep)
+            Window.partitionBy("key_col").orderBy(
+                F.desc("n"), F.asc_nulls_last("key")
+            )
+        )
         .alias("rnk"),
     )
     return t.filter(F.col("rnk") <= SKEW_TOP_K).select(

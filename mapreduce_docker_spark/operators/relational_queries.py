@@ -501,7 +501,9 @@ def window_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_ntile_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cust,) = _t(spark, sf_dir, "customer")
-    w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    # NULLS LAST explicitly: Spark ASC is NULLS FIRST, DuckDB NULLS LAST —
+    # a NULL balance would land in quartile 1 vs 4 (r10 degenerate sweep)
+    w = Window.orderBy(F.asc_nulls_last("c_acctbal"), F.asc("c_custkey"))
     return (
         cust.select("c_acctbal", F.ntile(4).over(w).alias("q"))
         .groupBy("q")
@@ -615,7 +617,10 @@ def distinct_customer_status_pairs(spark: SparkSession, sf_dir: str) -> DataFram
            CAST(length(p_name) AS INTEGER)                 AS name_len,
            substring(p_name, 1, 8)                         AS name_prefix,
            p_brand || '/' || p_type                        AS brand_type,
-           CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INTEGER) AS brand_num,
+           -- nullif(''): DuckDB regexp_extract also returns '' on no match and
+           -- its CAST('' AS INT) throws just like Spark ANSI — both engines
+           -- guard to NULL (r10 degenerate sweep)
+           CAST(nullif(regexp_extract(p_brand, '([0-9]+)', 1), '') AS INTEGER) AS brand_num,
            regexp_replace(p_type, '[aeiou]', '_')          AS type_devoweled,
            CAST(levenshtein(p_brand, 'Brand#1') AS INTEGER) AS lev_to_b1,
            CAST(p_name LIKE '%steel%' AS BOOLEAN)          AS has_steel
@@ -631,8 +636,16 @@ def scalar_string_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("p_name").alias("name_upper"),
         F.length("p_name").alias("name_len"),
         F.substring("p_name", 1, 8).alias("name_prefix"),
-        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
-        F.regexp_extract("p_brand", r"([0-9]+)", 1).cast("int").alias("brand_num"),
+        # F.concat, not concat_ws: the oracle's || propagates NULL, while
+        # concat_ws silently SKIPS null parts ('Brand#1' instead of NULL
+        # when the type is missing — r10 degenerate sweep)
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+        # nullif(''): regexp_extract returns '' on no match / NULL input and
+        # ANSI CAST('' AS INT) THROWS; DuckDB returns NULL there — align on
+        # NULL (r10 degenerate sweep: a brand with no digits crashed Spark)
+        F.nullif(
+            F.regexp_extract("p_brand", r"([0-9]+)", 1), F.lit("")
+        ).cast("int").alias("brand_num"),
         F.regexp_replace("p_type", "[aeiou]", "_").alias("type_devoweled"),
         F.levenshtein("p_brand", F.lit("Brand#1")).alias("lev_to_b1"),
         F.col("p_name").like("%steel%").alias("has_steel"),
@@ -677,7 +690,10 @@ def scalar_date_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor((abs(l_extendedprice - 1000)) * 100.0 + 0.5) / 100.0        AS dist_from_1k,
            floor((sqrt(l_quantity)) * 1000000.0 + 0.5) / 1000000.0                   AS qty_sqrt,
            floor((pow(l_quantity, 2)) * 100.0 + 0.5) / 100.0                 AS qty_sq,
-           floor((ln(l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0                AS price_ln,
+           -- guard: DuckDB ln(0) THROWS where Spark's log returns NULL — the
+           -- contract is NULL off the positive domain (r10 degenerate sweep)
+           CASE WHEN l_extendedprice > 0 THEN
+             floor((ln(l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0 END AS price_ln,
            CAST(ceil(l_discount * 100) AS BIGINT)       AS disc_pct_ceil,
            CAST(floor(l_tax * 100) AS BIGINT)           AS tax_pct_floor,
            l_orderkey % 7                               AS key_mod7
@@ -694,7 +710,12 @@ def scalar_math_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.abs(F.col("l_extendedprice") - 1000), 2).alias("dist_from_1k"),
         dround(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
         dround(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
-        dround(F.log("l_extendedprice"), 6).alias("price_ln"),
+        # explicit positive-domain guard mirroring the oracle CASE:
+        # Spark log already returns NULL off-domain, but the contract
+        # should be visible in the plan, not an engine accident
+        dround(
+            F.when(F.col("l_extendedprice") > 0, F.log("l_extendedprice")), 6
+        ).alias("price_ln"),
         F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
         F.floor(F.col("l_tax") * 100).alias("tax_pct_floor"),
         (F.col("l_orderkey") % 7).alias("key_mod7"),

@@ -1018,11 +1018,15 @@ def emb_vector_store_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_norm_profile",
     f"""
     WITH n AS (
+      -- CASE keeps a NULL embedding's norm NULL (the seeded fold alone
+      -- would say 0.0 and count it as a zero VECTOR — r10 degenerate
+      -- sweep; the engine's unseeded-input fold is NULL there)
       SELECT label, len(embedding) AS dims,
+             CASE WHEN embedding IS NULL THEN NULL ELSE
              sqrt(list_reduce(
                list_prepend(0.0, list_transform(embedding,
                                                 x -> CAST(x AS DOUBLE) * x)),
-               (a, b) -> a + b)) AS nrm
+               (a, b) -> a + b)) END AS nrm
       FROM embeddings
     )
     SELECT label,

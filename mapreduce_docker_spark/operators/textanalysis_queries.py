@@ -428,7 +428,9 @@ def text_tfidf_pair_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
     SELECT doc_id,
-           md5(array_to_string(toks, ' '))          AS content_md5,
+           -- coalesce: array_to_string([]) is NULL in DuckDB, but the engine's
+           -- concat_ws gives '' for zero-token docs -> md5('') on both
+           md5(coalesce(array_to_string(toks, ' '), '')) AS content_md5,
            {th.sql_rolling_fingerprint('toks')}     AS rolling_fp
     FROM d
     """,
@@ -436,7 +438,14 @@ def text_tfidf_pair_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     note="content fingerprints: md5 of normalized token stream + Rabin-Karp-style rolling hash (reference has no analog; dedup building block)",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("toks"))
+    # NULL text fingerprints like empty text (r10 degenerate sweep): the
+    # md5 lane already did (concat_ws turns a NULL array into ''), but the
+    # rolling fold over a NULL array was NULL where the oracle's seeded
+    # list fold says 0 — coalesce the token array once, both lanes agree
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.coalesce(tokens("text"), F.array().cast("array<string>")).alias("toks"),
+    )
     return d.select(
         "doc_id",
         F.md5(F.concat_ws(" ", "toks")).alias("content_md5"),

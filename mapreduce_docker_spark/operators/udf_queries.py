@@ -91,6 +91,8 @@ def _geomean_udaf():
     SELECT o_orderpriority,
            {rsql('exp(avg(ln(o_totalprice)))', 4)} AS geo_price
     FROM orders
+    WHERE o_totalprice > 0  -- geomean domain: DuckDB ln(0) THROWS, numpy
+                            -- log(0)/log(NULL) poison the mean with -inf/NaN
     GROUP BY o_orderpriority
     """,
     section="U6,A7",
@@ -110,8 +112,14 @@ def udf_pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression-level aggs like exp(avg(ln x)) (the oracle's own spelling).
     """
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        dround(_geomean_udaf()(F.col("o_totalprice")), 4).alias("geo_price")
+    # positive-domain contract (r10 degenerate sweep): a zero or NULL order
+    # value has no geometric-mean contribution — numpy's log would poison
+    # the whole group with -inf/NaN and DuckDB's ln(0) throws; the filter
+    # drops NULLs too (NULL > 0 is not true), identically on both engines
+    return (
+        orders.filter(F.col("o_totalprice") > 0)
+        .groupBy("o_orderpriority")
+        .agg(dround(_geomean_udaf()(F.col("o_totalprice")), 4).alias("geo_price"))
     )
 
 
@@ -230,18 +238,30 @@ def _user_conversion(key, events_pdf: pd.DataFrame, orders_pdf: pd.DataFrame) ->
            CAST(coalesce(o.n, 0) AS BIGINT)  AS n_orders
     FROM (SELECT user_id,
                  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
-          FROM events GROUP BY user_id) e
+          FROM events WHERE user_id IS NOT NULL GROUP BY user_id) e
     FULL OUTER JOIN
-         (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey) o
+         (SELECT o_custkey, count(*) AS n FROM orders
+          WHERE o_custkey IS NOT NULL GROUP BY o_custkey) o
       ON o.o_custkey = e.user_id
+    -- IS NOT NULL on both rollups (r10 degenerate sweep): a NULL identity
+    -- has no per-user state, and the NULL-keyed groups can never join so
+    -- the two engines disagreed on how many orphan NULL rows to emit
     """,
     section="U6",
     note="cogrouped applyInPandas (events x orders per user in one pandas call) — the two-sided exposed_map generalization; cogroup iterates the UNION of both key sets, so the oracle is a full-outer join of the two rollups",
 )
 def udf_cogroup_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("user_id")
+    # NULL identities carry no per-user state (r10 degenerate sweep; the
+    # oracle rollups carry the matching IS NOT NULL)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .filter(F.col("user_id").isNotNull())
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("user_id"))
+        .filter(F.col("user_id").isNotNull())
     )
     return (
         ev.groupBy("user_id")

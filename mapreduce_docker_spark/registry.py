@@ -179,16 +179,38 @@ def _load_all() -> None:
 # array_embedding_stats degenerate fix) is in-window above.
 # r11 FIX QUEUE (late-r10 engine-path changes OUTSIDE this window — the
 # r8->r9 precedent; re-certify in the r11 window before freshness
-# slots): array_hof_embeddings (weighted-sum fold rewritten from
-# zip_with(e, sequence(1, size)) — which built Spark's descending
-# [1, 0] on empty arrays and folded to NULL where the oracle said 0.0 —
-# to the indexed transform; oracle gained the NULL-array CASE) and
-# map_hof_event_props (oracle rewritten from unnest + GROUP BY, which
-# dropped zero-key/NULL-props events the engine keeps, to per-event
-# list expressions). Both changes are fixture-invisible (props always
-# carry keys, embeddings are fixed-dim), both are pinned on BOTH
-# engines in tests/test_crafted_truth32.py, and my gate re-run at HEAD
-# proves them at sf0.01 — the window slot makes the driver record agree.
+# slots). All changes are DEGENERATE-CONTRACT alignments found by the
+# r10 full engine-vs-oracle sweep on the nasty fixture
+# (tools/degenerate_sweep.py, 185/185 clean at HEAD); every one is
+# fixture-invisible on the driver's parquet (no NULL keys/timestamps/
+# texts, fixed-dim embeddings, always-keyed props), pinned on BOTH
+# engines in tests/test_crafted_truth32-33, and re-proven at sf0.01 by
+# the gate re-run at HEAD. The queue, grouped by root cause:
+#   * zero-shingle law (texthash.shingles now yields [] for zero-token
+#     docs on both engines — the engine's [''] shingle made every
+#     contentless doc a jaccard-1.0 "near-duplicate" of every other):
+#     text_tfidf_pair_cosine, dedup_minhash_signatures,
+#     dedup_minhash_survivors, dedup_minhash_clusters,
+#     dedup_jaccard_sample, text_curation_pipeline,
+#     text_decontaminate_ngram, text_training_shards,
+#     streaming_incremental_minhash_dedup
+#     (in-window shingle users — dedup_minhash_pairs (canary),
+#     bloom_benchmark_filter, dedup_cluster_survivorship,
+#     dedup_pair_similarity_report, graph_triangle_stats,
+#     text_decontaminate_bloom — re-certify in their r10 slots);
+#   * '' vs NULL string folds (DuckDB array_to_string([]) is NULL, the
+#     engine's concat_ws never is): text_fingerprint,
+#     dedup_exact_groups, dedup_exact_survivors, multimodal_resize;
+#   * NULL-ordering/identity/domain contracts:
+#     window_ntile_balance_quartiles (NULLS LAST), scalar_string_part
+#     (nullif('') before the ANSI int cast + || NULL propagation),
+#     scalar_math_lineitem (positive-domain ln), udf_pandas_udaf_geomean
+#     (positive-domain geomean), events_sliding_10m_5m,
+#     events_multires_rollup, events_session_5m (NULL event times are
+#     outside event-time semantics; oracle WHERE matches Spark window());
+#   * empty-array/map folds (pre-sweep batch-32 finds):
+#     array_hof_embeddings, map_hof_event_props.
+# 22 names; r11 = 5 canaries + these 22 + freshness from the r6 cohort.
 _PRIORITY_WINDOW = (
     # --- standing canaries ---
     "wordcount",

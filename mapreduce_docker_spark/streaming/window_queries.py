@@ -38,6 +38,8 @@ _5M_US = 5 * 60 * 1_000_000
            count(*) AS n_events,
            {rsql("sum(value)", 2)} AS total_value
     FROM events
+    WHERE ts IS NOT NULL  -- event-time contract: Spark's window() drops
+                          -- NULL event times; the oracle must too (r10)
     GROUP BY 1, 2, 3
     """,
     section="ST5",
@@ -71,6 +73,7 @@ def events_tumbling_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
              ]) AS start_us,
              value
       FROM events
+      WHERE ts IS NOT NULL  -- event-time contract (see events_tumbling_10m)
     )
     SELECT make_timestamp(start_us)             AS window_start,
            make_timestamp(start_us + {_10M_US}) AS window_end,
@@ -109,6 +112,7 @@ _1H_US = 60 * 60 * 1_000_000
            count(*) AS n_events,
            {rsql("sum(value)", 2)} AS total_value
     FROM events
+    WHERE ts IS NOT NULL  -- event-time contract (see events_tumbling_10m)
     GROUP BY 1, 2
     """,
     section="ST5,A1-A2",
@@ -154,6 +158,7 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, epoch_us(ts) AS us,
              lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
       FROM events
+      WHERE ts IS NOT NULL  -- event-time contract (see events_tumbling_10m)
     ),
     marked AS (
       SELECT user_id, ts, us,

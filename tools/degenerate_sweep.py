@@ -1,0 +1,148 @@
+"""Engine-vs-oracle sweep on a NASTY fixture — the degenerate-value gate.
+
+Usage: python tools/degenerate_sweep.py [src_sf_dir]
+
+Builds a fixture of 3 real rows per table plus crafted degenerate rows
+(NULL keys, NULL measures, NULL/empty/whitespace text, NULL timestamps,
+empty strings, zero quantities/prices, NULL/empty embeddings, NULL/'{}'
+props), then runs EVERY full-oracle query on BOTH engines and compares
+canonicalized results. This closes the gap the per-query probe lists
+cannot: tests/test_constant_inputs.py checks the ENGINE doesn't crash
+and oracle parity on a curated subset, but a divergence where both
+engines run happily and disagree only on degenerate VALUES — or where
+both crash — was invisible until a fixture happened to contain the row.
+
+The r10 inaugural run found 24 such findings in one pass (all
+fixture-invisible, i.e. unreachable on the driver's parquet):
+the zero-shingle [''] law that made every contentless doc a
+jaccard-1.0 near-duplicate engine-side only, DuckDB's
+array_to_string([]) = NULL vs the engine's '' in every fingerprint,
+Spark's ASC-NULLS-FIRST vs DuckDB's NULLS-LAST in ranked cut lines,
+NULL event times kept by oracles but dropped by Spark's window(),
+ANSI CAST('' AS INT) and ln(0) crashes on exactly one engine, and the
+empty-array folds. Expected state at HEAD: 185/185 clean — any finding
+from this tool is either a new query missing its degenerate contract or
+a regression.
+
+Exit code 1 on any crash or mismatch, 0 when clean (CI-gateable).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from mapreduce_docker_spark.registry import all_specs  # noqa: E402
+from mapreduce_docker_spark.session import get_spark  # noqa: E402
+
+# one entry per table: rows exercising every nullable column's NULL, the
+# empty/zero variants of strings and measures, and dangling keys
+NASTY = {
+    "region": [(90, None)],
+    "nation": [(90, None, 90), (91, "", 0)],
+    "customer": [
+        (9001, None, None, None, None),
+        (9002, "", 0, 0.0, ""),
+        (9003, "Customer#000009003", 0, -1.5, "BUILDING"),
+    ],
+    "supplier": [(9001, None, None, None), (9002, "", 0, 0.0)],
+    "part": [(9001, None, None, None, None, None), (9002, "", "", "", 0, 0.0)],
+    "orders": [
+        (900001, None, None, None, None, None),
+        (900002, 9003, "", 0.0, None, ""),
+    ],
+    "lineitem": [
+        (900001, None, None, None, None, None, None, None, None, None, None),
+        (900002, 9001, 9001, 1, 0.0, 0.0, 0.0, 0.0, "", "", None),
+    ],
+    "events": [
+        (900001, None, None, None, None, None),
+        (900002, None, 9001, "", 0.0, "{}"),
+        (900003, None, 9002, "view", None, None),
+    ],
+    "documents": [
+        (900001, None, None, None, None),
+        (900002, "", "", "", 0),
+        (900003, "   ", "xx", "web", 3),
+    ],
+    "embeddings": [(900001, None, None), (900002, [], 0), (900003, [0.0] * 4, 1)],
+}
+
+
+def _canon(rows):
+    out = []
+    for r in rows:
+        row = []
+        for v in r:
+            if isinstance(v, float):
+                row.append("NaN" if math.isnan(v) else round(v, 7))
+            elif isinstance(v, list):
+                row.append(
+                    tuple(round(x, 7) if isinstance(x, float) else x for x in v)
+                )
+            else:
+                row.append(v)
+        out.append(tuple(row))
+    return sorted(out, key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
+
+
+def main() -> int:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    dst = os.path.join(tempfile.gettempdir(), "mds_nasty_sweep")
+    spark = get_spark()
+    for t, extra in NASTY.items():
+        base = spark.read.parquet(f"{src}/{t}.parquet")
+        head = base.limit(3)
+        add = spark.createDataFrame(extra, head.schema)
+        head.unionByName(add).coalesce(1).write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
+        )
+    con = duckdb.connect()
+    for t in NASTY:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{dst}/{t}.parquet/*.parquet')"
+        )
+
+    specs = all_specs()
+    names = [n for n, s in specs.items() if s.sql is not None]
+    crash_s, crash_o, fails = [], [], []
+    for i, n in enumerate(names):
+        s = specs[n]
+        try:
+            srows = _canon([tuple(r) for r in s.fn(spark, dst).collect()])
+        except Exception as e:  # noqa: BLE001 — triage tool, report everything
+            crash_s.append((n, f"{type(e).__name__}: {str(e)[:160]}"))
+            continue
+        try:
+            orows = _canon([tuple(r) for r in con.execute(s.sql).fetchall()])
+        except Exception as e:  # noqa: BLE001
+            crash_o.append((n, f"{type(e).__name__}: {str(e)[:160]}"))
+            continue
+        if srows != orows:
+            fails.append((n, len(srows), len(orows)))
+        if (i + 1) % 25 == 0:
+            print(f"...{i + 1}/{len(names)}", flush=True)
+
+    print(f"\nSPARK CRASHES: {len(crash_s)}")
+    for n, e in crash_s:
+        print(" S!", n, "|", e)
+    print(f"ORACLE CRASHES: {len(crash_o)}")
+    for n, e in crash_o:
+        print(" O!", n, "|", e)
+    print(f"VALUE MISMATCHES: {len(fails)}")
+    for n, a, b in fails:
+        print(" V!", n, f"spark_rows={a} oracle_rows={b}")
+    bad = len(crash_s) + len(crash_o) + len(fails)
+    print(f"clean: {len(names) - bad} / {len(names)}")
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
