@@ -540,7 +540,12 @@ def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_jaccard_sample",
     f"""
     WITH d AS (
-      SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents WHERE doc_id < 300
+      -- len(sh) > 0: the zero-shingle law (texthash.shingles) removes
+      -- contentless docs from the near-dup relation; without the filter a
+      -- pair of them is a 0/0 Jaccard (ANSI DIVIDE_BY_ZERO on the engine)
+      SELECT doc_id, sh FROM (
+        SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents WHERE doc_id < 300
+      ) WHERE len(sh) > 0
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            {rsql(_sql_jaccard('a.sh', 'b.sh'), 4)} AS jaccard
@@ -551,7 +556,13 @@ def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     note="bounded exact-quadratic verification sample (doc_id < 300); the LSH path is the scale path",
 )
 def dedup_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _shingled(spark, sf_dir).filter(F.col("doc_id") < 300)
+    # size(sh) > 0: contentless docs are outside the near-dup relation
+    # (zero-shingle law) and a pair of empty shingle sets is a 0/0 Jaccard
+    d = (
+        _shingled(spark, sf_dir)
+        .filter(F.col("doc_id") < 300)
+        .filter(F.size("sh") > 0)
+    )
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (

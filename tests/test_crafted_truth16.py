@@ -58,10 +58,12 @@ def test_jaccard_sample_shingle_boundaries_hand_computed(spark, tmp_path):
     """3-word shingle Jaccard by hand: identical docs -> 1.0; a one-token
     tail swap on 5 tokens -> 2 shared of 4 shingles -> 0.5; an engineered
     3-of-10 overlap sits exactly on the 0.3 threshold and is KEPT (>=);
-    disjoint pairs drop. Short docs (< 3 tokens) hash as ONE whole-text
-    shingle — so two identical 2-token docs, and even two EMPTY docs, are
-    perfect duplicates (jaccard 1.0) rather than a 0/0 degenerate; the
-    doc_id < 300 bound excludes doc 300 entirely."""
+    disjoint pairs drop. Short-but-nonempty docs (1..2 tokens) hash as
+    ONE whole-text shingle, so two identical 2-token docs are perfect
+    duplicates. EMPTY docs left the near-dup relation in r10 (the
+    zero-shingle law, tools/degenerate_sweep.py): they have no shingles,
+    no pair, and no 0/0 Jaccard — exact dedup upstream owns contentless
+    duplicates. The doc_id < 300 bound excludes doc 300 entirely."""
     c = ["ca", "cb", "cc", "cd", "ce", "cf", "cg", "ch"]
     d = ["da", "db", "dc", "dd"]
     docs = [
@@ -89,7 +91,8 @@ def test_jaccard_sample_shingle_boundaries_hand_computed(spark, tmp_path):
         (10, 12): 0.5,
         (11, 12): 0.5,
         (14, 15): 1.0,
-        (16, 17): 1.0,
+        # NO (16, 17): empty docs have no shingles since r10 — they are
+        # exact-dedup material, not near-dup pairs
         (20, 21): 0.3,  # 3 shared / (6 + 7 - 3) = exactly the threshold
     }
 
