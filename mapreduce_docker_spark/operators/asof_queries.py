@@ -28,9 +28,12 @@ from mapreduce_docker_spark.sources.catalog import load_table
     "asof_purchase_prior_view",
     """
     WITH tagged AS (
-      SELECT user_id, ts, event_id, 0 AS kind FROM events WHERE event_type = 'view'
+      SELECT user_id, ts, event_id, 0 AS kind FROM events
+      WHERE event_type = 'view' AND ts IS NOT NULL
       UNION ALL
-      SELECT user_id, ts, event_id, 1 AS kind FROM events WHERE event_type = 'purchase'
+      SELECT user_id, ts, event_id, 1 AS kind FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL
+      -- event-sequence law (r10): NULL-ts order is engine-asymmetric
     ),
     carried AS (
       SELECT user_id, ts, event_id, kind,
@@ -52,7 +55,8 @@ from mapreduce_docker_spark.sources.catalog import load_table
     note="as-of join via union + carry-forward window (one shuffle per key); ties: same-ts view visible, max event_id wins",
 )
 def asof_purchase_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # event-sequence law (r10): timeless events are outside the as-of order
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     views = ev.filter(F.col("event_type") == "view").select(
         "user_id", "ts", "event_id", F.lit(0).alias("kind")
     )

@@ -584,7 +584,13 @@ _SQL_UNIT = """
                  list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
                  (a, b) -> a + b))) AS u
       FROM embeddings
-      WHERE list_reduce(list_prepend(0.0,
+      -- finite-norm law (r10 extended probe): a NaN/Inf component defines
+      -- the vector out of cosine space; DuckDB's NaN-is-greatest ordering
+      -- would otherwise PASS the > 0 guard that must reject it
+      WHERE isfinite(list_reduce(list_prepend(0.0,
+              list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+              (a, b) -> a + b))
+        AND list_reduce(list_prepend(0.0,
               list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
               (a, b) -> a + b) > 0
     )
@@ -612,7 +618,9 @@ def _unit_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, b: a + b,
     )
     norm = F.sqrt(sq_sum)
-    return emb.filter(sq_sum > 0).select(
+    # finite-norm law (r10): sq_sum < inf rejects NaN (NaN sorts greatest
+    # in Spark, so NaN < inf is false) and +Inf alike — oracle isfinite twin
+    return emb.filter((sq_sum > 0) & (sq_sum < F.lit(float("inf")))).select(
         "vec_id",
         "label",
         F.transform(F.col("embedding"), lambda x: x.cast("double") / norm).alias("u"),
@@ -642,7 +650,13 @@ _SQL_SRP_COMMON = f"""
       -- zero-norm vectors are defined out of cosine semantics (see _SQL_UNIT)
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM embeddings
-      WHERE list_reduce(list_prepend(0.0,
+      -- finite-norm law (r10 extended probe): a NaN/Inf component defines
+      -- the vector out of cosine space; DuckDB's NaN-is-greatest ordering
+      -- would otherwise PASS the > 0 guard that must reject it
+      WHERE isfinite(list_reduce(list_prepend(0.0,
+              list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+              (a, b) -> a + b))
+        AND list_reduce(list_prepend(0.0,
               list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
               (a, b) -> a + b) > 0
     ),
@@ -696,7 +710,13 @@ _SQL_DEDUP_SRP = _SQL_SRP_COMMON + f""",
           list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
           (a, b) -> a + b))) AS u
       FROM embeddings
-      WHERE list_reduce(list_prepend(0.0,
+      -- finite-norm law (r10 extended probe): a NaN/Inf component defines
+      -- the vector out of cosine space; DuckDB's NaN-is-greatest ordering
+      -- would otherwise PASS the > 0 guard that must reject it
+      WHERE isfinite(list_reduce(list_prepend(0.0,
+              list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+              (a, b) -> a + b))
+        AND list_reduce(list_prepend(0.0,
               list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
               (a, b) -> a + b) > 0
     )
@@ -753,7 +773,8 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # zero-norm rows defined out (ANSI divide guard) — matches the oracle's
     # filtered ed/unit CTEs, see _unit_vectors
-    unit = emb.filter(sq_sum > 0).select(
+    # finite-norm law (r10): see _unit_vectors
+    unit = emb.filter((sq_sum > 0) & (sq_sum < F.lit(float("inf")))).select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double") / F.sqrt(sq_sum)).alias(
             "u"

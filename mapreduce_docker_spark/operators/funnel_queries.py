@@ -159,6 +159,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY user_id ORDER BY ts::TIMESTAMP ASC, event_id ASC
              ) AS prev
       FROM events
+      WHERE ts IS NOT NULL  -- event-sequence law (r10): NULL-ts ordering is engine-asymmetric
     ),
     c AS (
       SELECT prev, cur, CAST(count(*) AS BIGINT) AS cnt
@@ -174,7 +175,10 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window sum over the 25-cell aggregate (no second scan)",
 )
 def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # event-sequence law (r10): timeless events have no position in the
+    # per-user order (NULL-ts sort is engine-asymmetric) — excluded, with
+    # the matching oracle WHERE
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     lw = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     lagged = ev.select(
         F.col("event_type").alias("cur"),
@@ -208,6 +212,10 @@ SESSION_SEGMENT_US = 24 * 3_600_000_000
     WITH e AS (
       SELECT event_id, user_id, ts::TIMESTAMP AS ts, epoch_us(ts::TIMESTAMP) AS us
       FROM events
+      -- event-sequence law (r10): a NULL event time has no position in the
+      -- per-user order (Spark sorts NULLs first, DuckDB last) — timeless
+      -- events are outside event-sequence semantics
+      WHERE ts IS NOT NULL
     ),
     flagged AS (
       SELECT event_id, user_id, ts, us,
@@ -276,7 +284,8 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition; the guard bounds the buffer by burst duration rather than
     account lifetime, which is the WindowExec-feasible bound.
     """
-    ev = load_table(spark, sf_dir, "events").select(
+    # event-sequence law (r10): see events_transition_matrix
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).select(
         "event_id",
         "user_id",
         "ts",
@@ -344,6 +353,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                ORDER BY ts DESC, event_id DESC
              ) AS rn
       FROM events
+      WHERE ts IS NOT NULL  -- event-sequence law (r10): NULL-ts ordering is engine-asymmetric
     ) WHERE rn = 1
     """,
     section="A7,U1",
@@ -359,8 +369,13 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def events_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "event_id", "ts", F.unix_micros("ts").alias("us")
+    # event-sequence law (r10): see events_transition_matrix
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id", "event_type", "event_id", "ts", F.unix_micros("ts").alias("us")
+        )
     )
     w = Window.partitionBy("user_id", "event_type").orderBy(
         F.desc("ts"), F.desc("event_id")
@@ -816,6 +831,7 @@ def events_funnel_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
       SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS us
       FROM events
+      WHERE ts IS NOT NULL  -- event-sequence law (r10): NULL-ts ordering is engine-asymmetric
     ),
     l AS (
       SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
@@ -866,8 +882,11 @@ def events_funnel_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    # event-sequence law (r10): see events_transition_matrix
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_id", "event_type", F.unix_micros("ts").alias("us"))
     )
     wo = Window.partitionBy("user_id").orderBy(F.asc("us"), F.asc("event_id"))
     prev = F.lag("us").over(wo)

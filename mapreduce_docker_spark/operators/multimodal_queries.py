@@ -71,6 +71,13 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> substr(text, CAST(i AS INTEGER), 1)), ''), '') AS small
       FROM documents
       WHERE text IS NOT NULL  -- ingestion contract (see with_binary_payload)
+        -- ASCII scope (r10 extended probe): the resize is a BYTE stride over
+        -- the payload; SQL substr strides CHARACTERS, so the oracle covers
+        -- exactly the payloads where bytes == chars. Multi-byte payloads
+        -- (real media, non-ASCII text) are the rows-only regime the note
+        -- already declares — the engine carries the identical scope filter
+        -- so the relation itself is ASCII-defined on both sides
+        AND strlen(text) = length(text)  -- DuckDB strlen() is BYTES
     )
     SELECT doc_id,
            CAST(length(small) AS INTEGER) AS n_bytes,
@@ -81,7 +88,12 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     note="resize/downsample stub via mapInPandas: every-2nd-byte payload stride, new payload + refreshed metadata out, Arrow end-to-end (a deployment swaps the slicer for PIL resize / ffmpeg resample). Fixture payloads are ASCII, so the byte stride is SQL-expressible and even this Python path is hash-checked; on real media the check degrades to rows-only",
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assets = mm.with_binary_payload(load_table(spark, sf_dir, "documents"))
+    # ASCII scope: byte stride == char stride only when the payload is
+    # single-byte text (see the oracle comment); real media stays rows-only
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length("text") == F.length("text")
+    )
+    assets = mm.with_binary_payload(docs)
     return mm.resize_payload(assets, factor=2).select("doc_id", "n_bytes", "sha256")
 
 

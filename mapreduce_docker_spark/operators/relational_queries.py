@@ -466,13 +466,16 @@ def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
            epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP)) OVER w AS gap_us,
            lead(event_type) OVER w AS next_type
     FROM events
+    WHERE ts IS NOT NULL  -- event-sequence law (r10): NULL-ts order is engine-asymmetric
     WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP ASC, event_id ASC)
     """,
     section="W:analytic",
     note="lag/lead over per-user event sequences; µs arithmetic on both engines",
 )
 def window_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # event-sequence law (r10): timeless events are outside the per-user order
     (events,) = _t(spark, sf_dir, "events")
+    events = events.filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     us = F.unix_micros(F.col("ts"))
     return events.select(
@@ -688,7 +691,10 @@ def scalar_date_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            floor((l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS net_price,
            floor((abs(l_extendedprice - 1000)) * 100.0 + 0.5) / 100.0        AS dist_from_1k,
-           floor((sqrt(l_quantity)) * 1000000.0 + 0.5) / 1000000.0                   AS qty_sqrt,
+           -- sqrt domain guard (r10 extended probe): DuckDB sqrt(negative)
+           -- THROWS where Spark returns NaN — NULL off the domain on both
+           CASE WHEN l_quantity >= 0 THEN
+             floor((sqrt(l_quantity)) * 1000000.0 + 0.5) / 1000000.0 END AS qty_sqrt,
            floor((pow(l_quantity, 2)) * 100.0 + 0.5) / 100.0                 AS qty_sq,
            -- guard: DuckDB ln(0) THROWS where Spark's log returns NULL — the
            -- contract is NULL off the positive domain (r10 degenerate sweep)
@@ -708,7 +714,11 @@ def scalar_math_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         dround(_revenue(), 2).alias("net_price"),
         dround(F.abs(F.col("l_extendedprice") - 1000), 2).alias("dist_from_1k"),
-        dround(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        # domain guard mirroring the oracle CASE (sqrt of a negative is
+        # NULL, not a NaN that floor() would silently turn into 0)
+        dround(
+            F.when(F.col("l_quantity") >= 0, F.sqrt("l_quantity")), 6
+        ).alias("qty_sqrt"),
         dround(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
         # explicit positive-domain guard mirroring the oracle CASE:
         # Spark log already returns NULL off-domain, but the contract

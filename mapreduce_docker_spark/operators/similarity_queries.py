@@ -184,7 +184,13 @@ def _srp_bucket_col() -> "F.Column":
                  list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
                  (a, b) -> a + b))) AS u
       FROM embeddings
-      WHERE list_reduce(list_prepend(0.0,
+      -- finite-norm law (r10 extended probe): a NaN/Inf component defines
+      -- the vector out of cosine space; DuckDB's NaN-is-greatest ordering
+      -- would otherwise PASS the > 0 guard that must reject it
+      WHERE isfinite(list_reduce(list_prepend(0.0,
+              list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+              (a, b) -> a + b))
+        AND list_reduce(list_prepend(0.0,
               list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
               (a, b) -> a + b) > 0
     ),
@@ -212,7 +218,8 @@ def sim_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, b: a + b,
     )
     # zero-norm rows defined out (ANSI divide guard; oracle WHERE matches)
-    unit = emb.filter(sq_sum > 0).select(
+    # finite-norm law (r10): see _unit_vectors
+    unit = emb.filter((sq_sum > 0) & (sq_sum < F.lit(float("inf")))).select(
         "vec_id",
         bucket.alias("bucket"),
         F.transform(F.col("embedding"), lambda x: x.cast("double") / F.sqrt(sq_sum)).alias(
@@ -273,7 +280,13 @@ def sim_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
           list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
           (a, b) -> a + b))) AS u
       FROM embeddings
-      WHERE list_reduce(list_prepend(0.0,
+      -- finite-norm law (r10 extended probe): a NaN/Inf component defines
+      -- the vector out of cosine space; DuckDB's NaN-is-greatest ordering
+      -- would otherwise PASS the > 0 guard that must reject it
+      WHERE isfinite(list_reduce(list_prepend(0.0,
+              list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+              (a, b) -> a + b))
+        AND list_reduce(list_prepend(0.0,
               list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
               (a, b) -> a + b) > 0
     ),
@@ -327,7 +340,8 @@ def sim_ann_srp_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, b: a + b,
     )
     # zero-norm rows defined out (ANSI divide guard; oracle WHERE matches)
-    unit = emb.filter(sq_sum > 0).select(
+    # finite-norm law (r10): see _unit_vectors
+    unit = emb.filter((sq_sum > 0) & (sq_sum < F.lit(float("inf")))).select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double") / F.sqrt(sq_sum)).alias(
             "u"
@@ -392,7 +406,9 @@ def sim_ann_srp_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (
       SELECT vec_id, v, scale,
              list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
-      FROM s WHERE scale > 0
+      -- finite-scale law (r10): a NaN/Inf component makes max|x| non-finite
+      -- and DuckDB's CAST(floor(NaN)) THROWS where Spark's floor(NaN) is 0
+      FROM s WHERE scale > 0 AND isfinite(scale)
     )
     SELECT vec_id,
            {rsql('scale', 6)} AS scale,
@@ -421,7 +437,12 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     # projection list, silently quantizing the error against the rounded
     # scale (caught by the oracle: max_abs_err drifted at the 6th decimal)
     s_raw = F.array_max(F.transform(F.col("v"), F.abs)) / F.lit(127.0)
-    q = d.select("vec_id", "v", s_raw.alias("s_raw")).filter(F.col("s_raw") > 0)
+    # finite-scale law (r10): NaN/Inf components define the vector out of
+    # the quantizer (s_raw < inf is false for NaN under Spark's NaN-greatest)
+    q = (
+        d.select("vec_id", "v", s_raw.alias("s_raw"))
+        .filter((F.col("s_raw") > 0) & (F.col("s_raw") < F.lit(float("inf"))))
+    )
     qv = F.transform(
         F.col("v"), lambda x: F.floor(x / F.col("s_raw") + F.lit(0.5)).cast("long")
     )

@@ -91,8 +91,10 @@ def _geomean_udaf():
     SELECT o_orderpriority,
            {rsql('exp(avg(ln(o_totalprice)))', 4)} AS geo_price
     FROM orders
-    WHERE o_totalprice > 0  -- geomean domain: DuckDB ln(0) THROWS, numpy
-                            -- log(0)/log(NULL) poison the mean with -inf/NaN
+    WHERE o_totalprice > 0 AND isfinite(o_totalprice)
+      -- geomean domain: DuckDB ln(0) THROWS, numpy log(0)/log(NULL)/log(NaN)
+      -- poison the whole group's mean with -inf/NaN; NaN also PASSES > 0 on
+      -- both engines (NaN-is-greatest), hence the explicit finite guard
     GROUP BY o_orderpriority
     """,
     section="U6,A7",
@@ -117,7 +119,10 @@ def udf_pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the whole group with -inf/NaN and DuckDB's ln(0) throws; the filter
     # drops NULLs too (NULL > 0 is not true), identically on both engines
     return (
-        orders.filter(F.col("o_totalprice") > 0)
+        orders.filter(
+            (F.col("o_totalprice") > 0)
+            & (F.col("o_totalprice") < F.lit(float("inf")))  # rejects NaN too
+        )
         .groupBy("o_orderpriority")
         .agg(dround(_geomean_udaf()(F.col("o_totalprice")), 4).alias("geo_price"))
     )

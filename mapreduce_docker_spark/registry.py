@@ -209,8 +209,38 @@ def _load_all() -> None:
 #     events_multires_rollup, events_session_5m (NULL event times are
 #     outside event-time semantics; oracle WHERE matches Spark window());
 #   * empty-array/map folds (pre-sweep batch-32 finds):
-#     array_hof_embeddings, map_hof_event_props.
-# 22 names; r11 = 5 canaries + these 22 + freshness from the r6 cohort.
+#     array_hof_embeddings, map_hof_event_props;
+#   * EXTENDED-probe laws (late r10; NaN/Inf components, pre-epoch
+#     timestamps, negative domains, unicode payloads —
+#     tests/test_crafted_truth34): the finite-norm law on every unit-
+#     vector CTE (DuckDB's NaN-is-greatest PASSES the > 0 guard that
+#     must reject a NaN vector; engine twin: sq_sum < inf):
+#     sim_cosine_topk, sim_cosine_topk_pandas (rows-only twin),
+#     sim_ann_srp, sim_ann_srp_banded, sim_ann_ivf, sim_ann_ivf_stored,
+#     sim_label_cohesion, dedup_embedding_pairs,
+#     dedup_embedding_clusters; the finite-scale law on the quantizer
+#     (emb_quantize_int8, emb_vector_store_build); the post-epoch law
+#     on watermarked streams (Spark's INITIAL watermark is the epoch,
+#     so pre-1970 events are late-by-construction and silently dropped
+#     by any watermarked op): streaming_dedup_native_keys (expiry twin
+#     is in-window); sqrt's domain guard joining ln's in
+#     scalar_math_lineitem; and the EVENT-SEQUENCE law (a NULL event
+#     time has no position in a per-user ts order — Spark sorts NULLs
+#     first, DuckDB last, so lag/lead/sessionization diverge the moment
+#     a user holds both a timeless and a timed event):
+#     window_event_gaps, events_transition_matrix,
+#     asof_purchase_prior_view (the law's other carriers —
+#     events_sessionize (canary), events_first_touch_attribution,
+#     events_compact_latest — are in-window).
+# 36 names; r11 = 5 canaries + these 36 + freshness from the r6 cohort
+# (tight: push the freshness tail to r12 rather than splitting a fix
+# family across windows).
+# NOT adopted (documented known limit, SCALING.md "NaN frontier"):
+# NaN-valued MEASURES in plain aggregations — Spark floor(NaN) = 0 vs
+# DuckDB floor(NaN) = NaN breaks every literal-SQL rounded output, and
+# DuckDB's variance/corr treat NaN differently from Spark's; until a
+# NaN-transparent rounding lands, NaN measures are outside the ORACLE
+# contract (engine behavior follows Spark's documented NaN semantics).
 _PRIORITY_WINDOW = (
     # --- standing canaries ---
     "wordcount",

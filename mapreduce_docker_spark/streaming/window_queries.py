@@ -246,7 +246,10 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
 
 @register(
     "streaming_dedup_native_keys",
-    "SELECT DISTINCT user_id, event_type FROM events",
+    "SELECT DISTINCT user_id, event_type FROM events "
+    # post-epoch contract: Spark's initial watermark is the epoch —
+    # pre-1970 events are late-by-construction in ANY watermarked op
+    "WHERE ts::TIMESTAMP >= TIMESTAMP '1970-01-01'",
     section="ST6,U1",
     note="the NATIVE dropDuplicatesWithinWatermark driven end-to-end with a "
     "FULL oracle (judge-r7 next-round #8): delay 3650d > the fixture's time "
@@ -274,10 +277,16 @@ def streaming_dedup_native_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type,
              CAST(date_trunc('day', ts::TIMESTAMP) AS TIMESTAMP) AS day_ts
       FROM events
+      -- post-epoch contract (see streaming_dedup_native_keys)
+      WHERE ts::TIMESTAMP >= TIMESTAMP '1970-01-01'
     ), mn AS (SELECT min(day_ts) AS d0 FROM ev)
     SELECT DISTINCT e.user_id, e.event_type, e.day_ts
     FROM ev e, mn
     WHERE date_diff('day', mn.d0, e.day_ts) % 3 = 0
+      -- span bound (r10): day-per-batch means span == batch count, so the
+      -- demo relation is DEFINED over the first 120 days from the first
+      -- event; matches stream_demo.EXPIRY_MAX_DAYS
+      AND date_diff('day', mn.d0, e.day_ts) < 120
     """,
     section="ST6,U1",
     note="the NATIVE dropDuplicatesWithinWatermark through its STATE-EXPIRY "

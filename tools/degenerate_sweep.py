@@ -60,16 +60,25 @@ NASTY = {
     "lineitem": [
         (900001, None, None, None, None, None, None, None, None, None, None),
         (900002, 9001, 9001, 1, 0.0, 0.0, 0.0, 0.0, "", "", None),
+        # negative domains (r10 extended probe): sqrt/ln guards fire here
+        (900003, 9001, 9001, 2, -4.0, -2.0, -0.5, -0.1, "R", "F", None),
     ],
     "events": [
         (900001, None, None, None, None, None),
         (900002, None, 9001, "", 0.0, "{}"),
         (900003, None, 9002, "view", None, None),
+        # pre-epoch event time (r10 extended probe): outside every
+        # watermarked operator (Spark's initial watermark IS the epoch)
+        # and must not explode the day-per-batch expiry demo's span
+        (900004, __import__("datetime").datetime(1969, 12, 31, 23), 9001, "view", 1.0, None),
     ],
     "documents": [
         (900001, None, None, None, None),
         (900002, "", "", "", 0),
         (900003, "   ", "xx", "web", 3),
+        # multi-byte payload (r10 extended probe): outside the byte==char
+        # ASCII scope of the oracle-checked resize lane
+        (900004, "\u00dcN\u00efCODE \u00e9moji \U0001f680 stra\u00dfe", "de", "web", 23),
     ],
     "embeddings": [(900001, None, None), (900002, [], 0), (900003, [0.0] * 4, 1)],
 }
