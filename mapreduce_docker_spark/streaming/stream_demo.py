@@ -889,13 +889,16 @@ def _sessionize_per_user(
         last_us, idx, start_us, n = state.get
     else:
         last_us, idx, start_us, n = None, 0, None, 0
-    closed: list[tuple[int, int, int, int, int]] = []
+    # a NULL user_id is a valid group key (the batch twin keeps it as its
+    # own partition); int(None) would crash the close-emit path
+    uid = int(key[0]) if key[0] is not None else None
+    closed: list[tuple[Any, int, int, int, int]] = []
     for us in batch["us"].to_numpy():
         us = int(us)
         if last_us is None:
             idx, start_us, n = 1, us, 1
         elif us - last_us > SESSION_GAP_US:
-            closed.append((int(key[0]), idx, n, start_us, last_us))
+            closed.append((uid, idx, n, start_us, last_us))
             idx, start_us, n = idx + 1, us, 1
         else:
             n += 1
@@ -912,8 +915,14 @@ def run_sessionize_stream(
 ) -> DataFrame:
     """Streaming twin of ``events_sessionize`` (ST7): gap sessions with
     explicit per-key state, constant memory per user."""
-    ev = read_events_stream(spark, sf_dir).select(
-        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    ev = (
+        read_events_stream(spark, sf_dir)
+        # event-sequence law (r10): a NULL event time has no position in a
+        # per-user order — the batch twin filters it, and unfiltered it
+        # reaches the pandas lane as NaN and breaks int(us) (r11 rows-only
+        # sweep crash)
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_id", F.unix_micros("ts").alias("us"))
     )
     sessions = ev.groupBy("user_id").applyInPandasWithState(
         _sessionize_per_user,

@@ -1,0 +1,433 @@
+"""Thirty-fifth batch — the r11 pre-freeze truths (judge-r10 next-round
+#6 + #7) plus the pins for this round's in-round fixes:
+
+* ``q17_small_quantity_revenue``: hand-walked correlated half-average
+  threshold — a row EXACTLY at 0.5*avg is excluded (strict <), NULL
+  quantities are skipped by the average on both engines, a NULL partkey
+  never joins, and a nothing-qualifies fixture folds to a NULL
+  avg_yearly on both engines;
+* ``q20_potential_part_promotion``: the HAVING cut at exactly 100.0 is
+  excluded (strict >), the shipdate window is [1997-01-01, 1998-01-01)
+  half-open, and two qualifying lines still emit ONE supplier row;
+* ``merge_upsert_orders_incremental``: the displaced-insert law (r11
+  find, fixed this round): a CDC insert whose shifted key ALREADY
+  EXISTS in the base replaces that row under the merge oracle, so the
+  incremental view must retract the displaced row's contribution —
+  plus the update∩insert key (divisible by 97 AND 101) and a status
+  whose rows all migrate away (the n > 0 filter). Pinned as a
+  three-way equality: incremental == full-merge twin == DuckDB oracle;
+* ``profile_orders_columns``: an all-NULL column profiles (n_nulls =
+  n_rows, n_distinct = 0) and an EMPTY table still yields one row per
+  column with (0, 0) — both engines;
+* ``zorder_day_bucket``: epoch-day boundaries — 1 µs before midnight
+  and midnight land in adjacent buckets, the pre-epoch µs -1 wraps to
+  bucket 2^16-1, and day 2^16 wraps to bucket 0 (python recompute of
+  the pmod identity);
+* NaN-measure frontier (judge-r10 #7, DECIDED): rounded sum/avg/min/
+  max of a NaN-poisoned measure agree across engines (the dround
+  two-branch form propagates NaN and DuckDB's floor(NaN) is NaN) —
+  that class JOINS the oracle contract, pinned here on
+  ``events_tumbling_10m``. The variance family stays OUT: DuckDB's
+  stddev_samp THROWS OutOfRangeException on a NaN group where Spark
+  returns NaN — the Spark-side behavior and the DuckDB throw are both
+  pinned so the documented limit is regression-guarded;
+* ``map_hof_event_props``: case-colliding props keys (judge-r10 ADVICE
+  #3) — the injective key normalization keeps the engine total where a
+  bare transform_keys(upper) threw DUPLICATE_MAP_KEY, and both engines
+  agree on the counts.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import duckdb
+import pytest
+
+from mapreduce_docker_spark.operators.layout_queries import (
+    ZORDER_BITS,
+    _DAY_US,
+    q_merge_upsert_orders,
+    q_merge_upsert_orders_incremental,
+    zorder_day_bucket,
+)
+from mapreduce_docker_spark.operators.profile_queries import profile_orders_columns
+from mapreduce_docker_spark.operators.relational_queries import (
+    agg_stats_by_segment,
+    map_hof_event_props,
+)
+from mapreduce_docker_spark.operators.tpch_queries import (
+    q17_small_quantity_revenue,
+    q20_potential_part_promotion,
+)
+from mapreduce_docker_spark.registry import all_specs
+from mapreduce_docker_spark.streaming.window_queries import events_tumbling_10m
+
+
+def _write(spark, tmp_path, table, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / f"{table}.parquet")
+    )
+
+
+def _oracle(tmp_path, tables, sql):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+            f"'{tmp_path}/{t}.parquet/*.parquet')"
+        )
+    return [tuple(r) for r in con.execute(sql).fetchall()]
+
+
+def _nan_canon(rows):
+    """NaN-aware canonical form (NaN != NaN under tuple equality)."""
+    return sorted(
+        tuple(
+            "NaN" if isinstance(v, float) and math.isnan(v) else v for v in r
+        )
+        for r in rows
+    )
+
+
+def _dround_py(x, n=2):
+    """Python mirror of functions.rounding.dround on in-range doubles."""
+    scale = float(10**n)
+    return math.floor(x * scale + 0.5) / scale
+
+
+# ---------------------------------------------------------------------------
+# Q17: correlated half-average threshold
+# ---------------------------------------------------------------------------
+
+def _q17_fixture(spark, tmp_path):
+    _write(
+        spark,
+        tmp_path,
+        "part",
+        [
+            (1, "Brand#2", 5),     # wanted
+            (2, "Brand#2", 9),     # wanted; its only cheap row sits ON the cut
+            (3, "Brand#2", 10),    # p_size < 10 is strict: NOT wanted
+            (4, "Brand#3", 5),     # wrong brand
+        ],
+        "p_partkey long, p_brand string, p_size int",
+    )
+    _write(
+        spark,
+        tmp_path,
+        "lineitem",
+        [
+            # part 1: avg qty over (1, 2, 6) = 3.0 (NULL skipped), half 1.5
+            (1, 1.0, 700.0),       # 1 < 1.5 -> the ONLY contributing row
+            (1, 2.0, 7000.0),      # above the half-average
+            (1, 6.0, 70000.0),
+            (1, None, 123456.0),   # NULL qty: skipped by avg, never kept
+            # part 2: avg over (1, 3) = 2.0, half 1.0; qty 1 is EXACTLY at
+            # the cut -> excluded by the strict <
+            (2, 1.0, 500.0),
+            (2, 3.0, 600.0),
+            # part 3 (unwanted size 10): a tiny qty that must NOT leak in
+            (3, 0.5, 999999.0),
+            # part 4 (wrong brand): same
+            (4, 0.5, 888888.0),
+            # NULL partkey: joins nothing on either engine
+            (None, 0.1, 777777.0),
+        ],
+        "l_partkey long, l_quantity double, l_extendedprice double",
+    )
+
+
+def test_q17_half_average_threshold_walk_both_engines(spark, tmp_path):
+    """Only part 1's qty-1 row survives: avg_yearly = 700/7 = 100.0."""
+    _q17_fixture(spark, tmp_path)
+    got = [tuple(r) for r in q17_small_quantity_revenue(spark, str(tmp_path)).collect()]
+    assert got == [(100.0,)]
+    spec = all_specs()["q17_small_quantity_revenue"]
+    assert _oracle(tmp_path, ("part", "lineitem"), spec.sql) == [(100.0,)]
+
+
+def test_q17_nothing_qualifies_is_null_both_engines(spark, tmp_path):
+    """When every row sits at-or-above its half-average the sum is empty:
+    avg_yearly is NULL on both engines (not 0.0, not zero rows)."""
+    _write(
+        spark, tmp_path, "part",
+        [(1, "Brand#2", 5)], "p_partkey long, p_brand string, p_size int",
+    )
+    _write(
+        spark, tmp_path, "lineitem",
+        # avg = 2.0, half = 1.0; 2.0 and 2.0 are both >= 1.0
+        [(1, 2.0, 100.0), (1, 2.0, 200.0)],
+        "l_partkey long, l_quantity double, l_extendedprice double",
+    )
+    got = [tuple(r) for r in q17_small_quantity_revenue(spark, str(tmp_path)).collect()]
+    assert got == [(None,)]
+    spec = all_specs()["q17_small_quantity_revenue"]
+    assert _oracle(tmp_path, ("part", "lineitem"), spec.sql) == [(None,)]
+
+
+# ---------------------------------------------------------------------------
+# Q20: HAVING cut + half-open shipdate window
+# ---------------------------------------------------------------------------
+
+def test_q20_having_and_shipdate_boundaries_both_engines(spark, tmp_path):
+    _write(
+        spark, tmp_path, "part",
+        [(1, "small green widget"), (2, "large brass nut")],
+        "p_partkey long, p_name string",
+    )
+    _write(
+        spark, tmp_path, "supplier",
+        [(1, "s1", 10), (2, "s2", 10), (3, "s3", 10)],
+        "s_suppkey long, s_name string, s_nationkey int",
+    )
+    _write(
+        spark, tmp_path, "nation",
+        [(10, "GERMANY", 1)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    d = dt.datetime
+    _write(
+        spark, tmp_path, "lineitem",
+        [
+            # s1: 60 + 40.5 = 100.5 > 100 -> qualifies (via TWO lines -> one row)
+            (1, 1, d(1997, 6, 1), 60.0),
+            (1, 1, d(1997, 12, 31, 23, 59, 59), 40.5),
+            # s2: 50 at the INCLUSIVE lower bound + 50 mid-year = exactly
+            # 100.0 -> strict > excludes; the 999 at 1998-01-01 00:00:00 is
+            # OUTSIDE the half-open window and must not rescue it
+            (2, 1, d(1997, 1, 1, 0, 0, 0), 50.0),
+            (2, 1, d(1997, 6, 15), 50.0),
+            (2, 1, d(1998, 1, 1, 0, 0, 0), 999.0),
+            # s3: volume on a non-small part, and pre-window volume on part 1
+            (3, 2, d(1997, 6, 1), 200.0),
+            (3, 1, d(1996, 12, 31), 200.0),
+        ],
+        "l_suppkey long, l_partkey long, l_shipdate timestamp, l_quantity double",
+    )
+    got = [tuple(r) for r in q20_potential_part_promotion(spark, str(tmp_path)).collect()]
+    assert got == [("s1", "GERMANY")]
+    spec = all_specs()["q20_potential_part_promotion"]
+    assert _oracle(
+        tmp_path, ("part", "supplier", "nation", "lineitem"), spec.sql
+    ) == [("s1", "GERMANY")]
+
+
+# ---------------------------------------------------------------------------
+# MERGE incremental: the displaced-insert law
+# ---------------------------------------------------------------------------
+
+def test_merge_incremental_displaced_insert_three_way(spark, tmp_path):
+    """Key 100_000_101 exists in the base AND is the shifted target of the
+    key-101 insert: merge semantics replace it, so the incremental view
+    must retract its (F, 50.0) contribution — before the r11 fix that key
+    was counted under BOTH F and N. Key 9797 (97*101) exercises the
+    update∩insert overlap, and status P (only row updated away) exercises
+    the n > 0 migration filter. Incremental == full merge == oracle."""
+    day = dt.datetime(1995, 1, 1)
+    rows = [
+        (97, 1, "O", 100.0, day, "1-URGENT"),           # update -> U, *1.05
+        (9797, 1, "P", 300.0, day, "1-URGENT"),         # update AND insert source
+        (101, 1, "O", 200.0, day, "2-HIGH"),            # insert source only
+        (100_000_101, 1, "F", 50.0, day, "3-MEDIUM"),   # DISPLACED by key-101 insert
+        (5, 1, "F", 10.0, day, "3-MEDIUM"),             # untouched
+    ]
+    _write(
+        spark, tmp_path, "orders", rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    # hand truth with python doubles (both engines do the same IEEE ops)
+    want = sorted(
+        [
+            ("F", 1, _dround_py(10.0)),
+            ("N", 2, _dround_py(200.0 + 300.0)),
+            ("O", 1, _dround_py(200.0)),
+            ("U", 2, _dround_py(100.0 * 1.05 + 300.0 * 1.05)),
+            # P: its only row migrated to U -> no output row (n > 0)
+        ]
+    )
+    inc = sorted(
+        tuple(r)
+        for r in q_merge_upsert_orders_incremental(spark, str(tmp_path)).collect()
+    )
+    full = sorted(
+        tuple(r) for r in q_merge_upsert_orders(spark, str(tmp_path)).collect()
+    )
+    assert inc == want
+    assert full == want
+    spec = all_specs()["merge_upsert_orders_incremental"]
+    assert sorted(_oracle(tmp_path, ("orders",), spec.sql)) == want
+
+
+# ---------------------------------------------------------------------------
+# profile: all-NULL column + empty table
+# ---------------------------------------------------------------------------
+
+_ORDERS_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+
+
+def test_profile_all_null_column_both_engines(spark, tmp_path):
+    d = dt.datetime(1995, 1, 1)
+    rows = [
+        (1, None, "O", 10.0, d, "P1"),
+        (2, None, "O", None, d, "P2"),
+        (3, None, None, 10.0, None, "P1"),
+    ]
+    _write(spark, tmp_path, "orders", rows, _ORDERS_SCHEMA)
+    want = {
+        "o_orderkey": (0, 3),
+        "o_custkey": (3, 0),      # the all-NULL column: distinct counts 0
+        "o_orderstatus": (1, 1),
+        "o_totalprice": (1, 1),   # two 10.0 collapse
+        "o_orderdate": (1, 1),
+        "o_orderpriority": (0, 2),
+    }
+    got = {
+        r["col_name"]: (r["n_nulls"], r["n_distinct"])
+        for r in profile_orders_columns(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+    spec = all_specs()["profile_orders_columns"]
+    assert {
+        c: (n, d_) for c, n, d_ in _oracle(tmp_path, ("orders",), spec.sql)
+    } == want
+
+
+def test_profile_empty_table_both_engines(spark, tmp_path):
+    _write(spark, tmp_path, "orders", [], _ORDERS_SCHEMA)
+    want = {
+        c: (0, 0)
+        for c in (
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority",
+        )
+    }
+    got = {
+        r["col_name"]: (r["n_nulls"], r["n_distinct"])
+        for r in profile_orders_columns(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+    spec = all_specs()["profile_orders_columns"]
+    assert {
+        c: (n, d_) for c, n, d_ in _oracle(tmp_path, ("orders",), spec.sql)
+    } == want
+
+
+# ---------------------------------------------------------------------------
+# Z-order day bucket: epoch boundaries and the 2^16 wrap
+# ---------------------------------------------------------------------------
+
+def test_zorder_day_bucket_boundaries(spark):
+    """pmod identity hand-walked at the seams: µs -1 (pre-epoch) wraps to
+    the TOP bucket, midnight boundaries split adjacent days, and epoch-day
+    2^16 wraps back to bucket 0."""
+    import pyspark.sql.functions as F
+
+    cases = [
+        (dt.datetime(1969, 12, 31, 23, 59, 59, 999999), (1 << ZORDER_BITS) - 1),
+        (dt.datetime(1970, 1, 1, 0, 0, 0), 0),
+        (dt.datetime(1970, 1, 1, 23, 59, 59, 999999), 0),
+        (dt.datetime(1970, 1, 2, 0, 0, 0), 1),
+        (dt.datetime(1970, 1, 1) + dt.timedelta(days=(1 << ZORDER_BITS)), 0),
+        (dt.datetime(1970, 1, 1) + dt.timedelta(days=(1 << ZORDER_BITS) + 3), 3),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "ts timestamp")
+    got = [r[0] for r in df.select(zorder_day_bucket(F.col("ts"))).collect()]
+    assert got == [want for _, want in cases]
+    # python recompute of the documented identity, independent of Spark
+    for t, want in cases:
+        us = int((t - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+        span = _DAY_US * (1 << ZORDER_BITS)
+        r = us % span  # python % IS pmod for positive modulus
+        assert (r - (r % _DAY_US)) // _DAY_US == want
+
+
+# ---------------------------------------------------------------------------
+# NaN-measure frontier: the decided split
+# ---------------------------------------------------------------------------
+
+def test_nan_measure_rounded_sum_joins_oracle_contract(spark, tmp_path):
+    """The plain-agg class (rounded sum here; min/max/avg measured in the
+    same probe) agrees across engines on a NaN-poisoned measure: dround's
+    two-branch form propagates NaN (abs(NaN) < T is false) and DuckDB's
+    floor(NaN) is NaN — so this class is IN the oracle contract now."""
+    nan = float("nan")
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 1), "a", 1.0),
+        (2, dt.datetime(2024, 1, 1, 0, 2), "a", nan),
+        (3, dt.datetime(2024, 1, 1, 0, 15), "b", 2.5),
+    ]
+    _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    got = _nan_canon(
+        tuple(r) for r in events_tumbling_10m(spark, str(tmp_path)).collect()
+    )
+    spec = all_specs()["events_tumbling_10m"]
+    oracle = _nan_canon(_oracle(tmp_path, ("events",), spec.sql))
+    assert got == oracle
+    # and the NaN really is where we say it is
+    by_type = {r[2]: (r[3], r[4]) for r in got}
+    assert by_type == {"a": (2, "NaN"), "b": (1, 2.5)}
+
+
+def test_nan_variance_family_stays_out_and_is_pinned(spark, tmp_path):
+    """The variance family is OUTSIDE the oracle contract for NaN
+    measures: Spark's stddev_samp returns NaN on a NaN group while
+    DuckDB THROWS OutOfRangeException. Pin BOTH behaviors so either
+    engine silently changing is a test failure, not a latent divergence."""
+    nan = float("nan")
+    _write(
+        spark, tmp_path, "customer",
+        [("A", 1.0), ("A", nan), ("B", 2.0)],
+        "c_mktsegment string, c_acctbal double",
+    )
+    got = _nan_canon(
+        tuple(r) for r in agg_stats_by_segment(spark, str(tmp_path)).collect()
+    )
+    # Spark semantics, hand-pinned: NaN poisons sum/avg/max/stddev, NaN is
+    # GREATEST so min stays 1.0; single-row stddev_samp is NULL
+    assert got == _nan_canon(
+        [
+            ("A", 2, "NaN", "NaN", 1.0, "NaN", "NaN"),
+            ("B", 1, 2.0, 2.0, 2.0, 2.0, None),
+        ]
+    )
+    spec = all_specs()["agg_stats_by_segment"]
+    with pytest.raises(duckdb.OutOfRangeException):
+        _oracle(tmp_path, ("customer",), spec.sql)
+
+
+# ---------------------------------------------------------------------------
+# map HOF: case-colliding props keys (judge-r10 ADVICE #3)
+# ---------------------------------------------------------------------------
+
+def test_map_hof_case_colliding_keys_both_engines(spark, tmp_path):
+    """'Amt' and 'amt' in one props object: the injective normalization
+    keeps the engine total (a bare transform_keys(upper) threw
+    DUPLICATE_MAP_KEY under Spark's default EXCEPTION dedup policy) and
+    both engines count 2 keys, sum 134, one large value."""
+    rows = [
+        (1, "a", '{"Amt": 60, "amt": 7}'),
+        (2, "a", '{"x": 1}'),
+    ]
+    _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, event_type string, props string",
+    )
+    want = [(1, 2, 134, 1), (2, 1, 2, 0)]
+    got = sorted(
+        (tuple(r) for r in map_hof_event_props(spark, str(tmp_path)).collect()),
+        key=lambda t: t[0],
+    )
+    assert got == want
+    spec = all_specs()["map_hof_event_props"]
+    assert sorted(
+        _oracle(tmp_path, ("events",), spec.sql), key=lambda t: t[0]
+    ) == want

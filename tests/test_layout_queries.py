@@ -91,18 +91,25 @@ def test_merge_upsert_is_single_shuffle_and_semantically_merge(spark):
     assert merge_upsert(orders, ins, "o_orderkey").count() == n_target + ins.count()
 
 
-def test_incremental_merge_agg_is_join_free(spark):
+def test_incremental_merge_agg_shuffle_join_free(spark):
     """The incremental twin maintains the aggregate from signed deltas:
-    unions + one groupBy, no join anywhere — the cost model that makes it
-    O(|CDC| + |statuses|) instead of O(|table|) re-merge."""
+    unions + one groupBy, plus EXACTLY ONE broadcast left-semi join — the
+    displaced-insert retraction (r11 law, tests/test_crafted_truth35.py:
+    a CDC insert whose key already exists replaces a base row, which must
+    be retracted). The broadcast side is the bounded insert-key set, so
+    the cost model stays O(|table scan| + |CDC| + |statuses|) with NO
+    shuffle join — a shuffle here would re-exchange the fact table the
+    whole design exists to avoid."""
     from mapreduce_docker_spark.operators.layout_queries import (
         q_merge_upsert_orders_incremental,
     )
 
     df = q_merge_upsert_orders_incremental(spark, SF)
     plan = _plan(df)
-    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "NestedLoop"):
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "NestedLoop"):
         assert j not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "LeftSemi" in plan, plan
 
 
 def test_partitioned_layout_enables_dynamic_partition_pruning(spark):

