@@ -1345,33 +1345,38 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue_share",
     """
-    SELECT floor(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+    SELECT CASE WHEN sum(l.l_extendedprice * (1.0 - l.l_discount)) = 0 THEN NULL
+           ELSE floor(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
                                   THEN l.l_extendedprice * (1.0 - l.l_discount)
                                   ELSE 0 END)
                  / sum(l.l_extendedprice * (1.0 - l.l_discount)) * 10000.0 + 0.5)
-           / 10000.0 AS promo_share_pct
+           / 10000.0 END AS promo_share_pct
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
       AND l.l_shipdate < TIMESTAMP '1997-10-01'
     """,
     section="J1,A7",
-    note="TPC-H Q14 shape: ratio of conditional to total aggregate in one pass",
+    note="TPC-H Q14 shape: ratio of conditional to total aggregate in one pass; "
+    "a zero total (all-zero-price window — r11 probe) is an undefined share "
+    "and yields NULL on both engines instead of ANSI DIVIDE_BY_ZERO vs "
+    "DuckDB's div-by-zero NULL",
 )
 def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, part = _t(spark, sf_dir, "lineitem", "part")
     rev = _revenue()
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    # CASE evaluates lazily under ANSI codegen, so the != 0 guard is the
+    # sanctioned divide-by-zero shield (tests/test_crafted_truth36.py)
+    share = F.when(
+        F.sum(rev) != 0, F.lit(100.0) * F.sum(promo) / F.sum(rev)
+    )
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
         )
         .join(part, part["p_partkey"] == li["l_partkey"])
-        .agg(
-            dround(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias(
-                "promo_share_pct"
-            )
-        )
+        .agg(dround(share, 4).alias("promo_share_pct"))
     )
 
 

@@ -514,29 +514,30 @@ def sim_brp_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        # the sim-family degenerate laws, which this ML lane missed until
-        # the r11 rows-only sweep crash-checked it: a NULL array NPEs
-        # array_to_vector in the JVM, a wrong-dimension vector breaks the
-        # fitted model's hash planes, and sq_sum < inf is the family's
-        # finite-component guard (NaN compares false). Raw (non-unit)
-        # vectors are correct here — BRP hashes euclidean space.
-        .filter(
-            F.col("embedding").isNotNull() & (F.size("embedding") == EMB_DIM)
-        )
-        .filter(
-            F.aggregate(
-                F.col("embedding").cast("array<double>"),
-                F.lit(0.0),
-                lambda a, x: a + x * x,
-            )
-            < float("inf")
-        )
-        .select(
-            "vec_id",
-            array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
-        )
+    # the sim-family degenerate laws, which this ML lane missed until the
+    # r11 rows-only sweep crash-checked it: a NULL array NPEs
+    # array_to_vector in the JVM, a wrong-dimension vector breaks the
+    # fitted model's hash planes, and sq_sum < inf is the family's
+    # finite-component guard (NaN compares false). Raw (non-unit) vectors
+    # are correct here — BRP hashes euclidean space.
+    arr = F.col("embedding").cast("array<double>")
+    good = (
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == EMB_DIM)
+        & (F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x) < float("inf"))
+    )
+    emb = load_table(spark, sf_dir, "embeddings").filter(good).select(
+        "vec_id",
+        # the UDF input must be TOTAL, not merely filtered: Catalyst merges
+        # and reorders filter conjuncts around the projection, and the
+        # first sweep fix (filter-then-select) still NPE'd when the LSH
+        # join's pushed predicate evaluated array_to_vector ahead of the
+        # NULL conjunct. CASE evaluates lazily, so bad rows feed a typed
+        # zero vector to the UDF and are dropped by the filter regardless
+        # of evaluation order.
+        array_to_vector(
+            F.when(good, arr).otherwise(F.array_repeat(F.lit(0.0), EMB_DIM))
+        ).alias("features"),
     )
     if emb.isEmpty():
         # BucketedRandomProjectionLSH.fit() throws on an empty dataset by

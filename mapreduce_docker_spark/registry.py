@@ -211,7 +211,15 @@ def _load_all() -> None:
 # 5 + 37 + 2 + 3 + 3 = 50.
 # r12 FIX QUEUE (engine-path changes this round OUTSIDE this window —
 # the standing precedent; re-certify in the r12 window before
-# freshness slots): (none yet).
+# freshness slots):
+#   * q14_promo_revenue_share — zero-total-revenue guard (r11 probe,
+#     tests/test_crafted_truth36.py): an all-zero-price ship-month made
+#     Spark throw ANSI DIVIDE_BY_ZERO where DuckDB's div-by-zero NULL
+#     just flowed; the share of a zero total is now NULL on BOTH
+#     engines (lazy CASE guard engine-side, CASE WHEN sum=0 oracle-
+#     side). Fixture-invisible on the driver parquet (no zero-price
+#     months); q14 is an r6-cohort name and rolls into r12 as a fix
+#     re-cert rather than plain freshness.
 # NaN-MEASURE FRONTIER (judge-r10 next-round #7): DECIDED this round —
 # see SCALING.md "NaN frontier". Measured, then split: rounded
 # sum/avg/min/max of NaN measures AGREE across engines (the dround
