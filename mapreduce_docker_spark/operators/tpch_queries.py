@@ -192,8 +192,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     f"""
     SELECT o_year,
-           {rsql("sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0.0 END)"
-                 " / sum(volume)", 4)} AS mkt_share
+           CASE WHEN sum(volume) = 0 THEN NULL
+           ELSE {rsql("sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0.0 END)"
+                 " / sum(volume)", 4)} END AS mkt_share
     FROM (
       SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
              l_extendedprice * (1.0 - l_discount) AS volume,
@@ -214,7 +215,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     section="J1,J2,A7",
     note="TPC-H Q8 shape: one nation's share of a region's import volume by year "
-    "(conditional numerator over the same grouped sum)",
+    "(conditional numerator over the same grouped sum); a zero-volume year "
+    "(all-zero-price rows — the q14 class, r11 division audit) has no defined "
+    "share and yields NULL on both engines instead of ANSI DIVIDE_BY_ZERO",
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part, li, supp, orders, cust, nation, region = _t(
@@ -257,9 +260,18 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
+            # lazy CASE: the sanctioned ANSI divide-by-zero shield (a
+            # zero-volume year is an undefined share -> NULL, q14 class)
             dround(
-                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
-                / F.sum(vol),
+                F.when(
+                    F.sum(vol) != 0,
+                    F.sum(
+                        F.when(F.col("nation") == "NATION_3", vol).otherwise(
+                            F.lit(0.0)
+                        )
+                    )
+                    / F.sum(vol),
+                ),
                 4,
             ).alias("mkt_share")
         )

@@ -220,6 +220,12 @@ def _load_all() -> None:
 #     side). Fixture-invisible on the driver parquet (no zero-price
 #     months); q14 is an r6-cohort name and rolls into r12 as a fix
 #     re-cert rather than plain freshness.
+#   * q8_market_share — same class, found by the r11 division audit the
+#     q14 fix triggered (every data-dependent denominator in the repo
+#     was then audited: all others already carry lazy-CASE guards): a
+#     zero-volume year now yields a NULL share on both engines
+#     (tests/test_crafted_truth36.py). q8 is an r7-cohort name; its fix
+#     re-cert takes precedence over r12 freshness.
 # NaN-MEASURE FRONTIER (judge-r10 next-round #7): DECIDED this round —
 # see SCALING.md "NaN frontier". Measured, then split: rounded
 # sum/avg/min/max of NaN measures AGREE across engines (the dround

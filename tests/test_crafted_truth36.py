@@ -187,6 +187,65 @@ def test_range_band_ties_and_null_peers_both_engines(spark, tmp_path):
     ) == want
 
 
+def test_q8_zero_volume_year_is_null_both_engines(spark, tmp_path):
+    """The q14 class, found by the r11 division audit: a year whose ASIA
+    ECONOMY volume sums to zero (all-zero-price rows) made the unguarded
+    share throw ANSI DIVIDE_BY_ZERO on Spark. Contract: NULL share for a
+    zero-volume year; a normal year still computes (NATION_3 share of
+    200 out of 250 = 0.8)."""
+    from mapreduce_docker_spark.operators.tpch_queries import q8_market_share
+
+    d = dt.datetime
+    _write(spark, tmp_path, "part", [(1, "ECONOMY")], "p_partkey long, p_type string")
+    _write(
+        spark, tmp_path, "supplier",
+        [(1, 3), (2, 4)],
+        "s_suppkey long, s_nationkey int",
+    )
+    _write(
+        spark, tmp_path, "customer", [(1, 5)], "c_custkey long, c_nationkey int"
+    )
+    _write(
+        spark, tmp_path, "nation",
+        [(3, "NATION_3", 9), (4, "NATION_4", 9), (5, "NATION_5", 7)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    _write(
+        spark, tmp_path, "region",
+        [(7, "ASIA"), (9, "EUROPE")],
+        "r_regionkey int, r_name string",
+    )
+    _write(
+        spark, tmp_path, "orders",
+        [(10, 1, d(1996, 6, 1)), (11, 1, d(1997, 6, 1))],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    _write(
+        spark, tmp_path, "lineitem",
+        [
+            # 1996: all-zero volume -> NULL share
+            (10, 1, 1, 0.0, 0.0),
+            (10, 1, 2, 0.0, 0.5),
+            # 1997: NATION_3 supplier ships 200, NATION_4 ships 50
+            (11, 1, 1, 200.0, 0.0),
+            (11, 1, 2, 50.0, 0.0),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_extendedprice double, l_discount double",
+    )
+    want = sorted([(1996, None), (1997, 0.8)])
+    got = sorted(tuple(r) for r in q8_market_share(spark, str(tmp_path)).collect())
+    assert got == want
+    spec = all_specs()["q8_market_share"]
+    assert sorted(
+        _oracle(
+            tmp_path,
+            ("part", "supplier", "customer", "nation", "region", "orders", "lineitem"),
+            spec.sql,
+        )
+    ) == want
+
+
 def test_full_outer_balances_dangling_sides_both_engines(spark, tmp_path):
     _write(
         spark, tmp_path, "customer",
