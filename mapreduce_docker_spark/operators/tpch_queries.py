@@ -413,6 +413,10 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate <  TIMESTAMP '1996-04-01'
+        -- NULL-key law (r11): a supplierless revenue group is not a
+        -- top-supplier candidate — unexcluded it can STEAL the max and
+        -- empty the result after the supplier join (on both engines)
+        AND l_suppkey IS NOT NULL
       GROUP BY l_suppkey
     )
     SELECT s_suppkey, s_name, total_revenue
@@ -429,6 +433,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(
             (F.col("l_shipdate") >= _ts("1996-01-01"))
             & (F.col("l_shipdate") < _ts("1996-04-01"))
+            # NULL-key law (r11): see the oracle comment — a supplierless
+            # group could steal the max and empty the result
+            & F.col("l_suppkey").isNotNull()
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         # rounded before the max-equality compare (cut-line discipline):
@@ -456,17 +463,29 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p_brand <> 'Brand#1'
       AND p_type <> 'PROMO'
       AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
-      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      -- the NULL-key laws (r11 probe): NOT IN drops a NULL lhs implicitly
+      -- where Spark's left-anti KEEPS it (a phantom zero-count group), and
+      -- one NULL in the subquery list would empty the whole result; both
+      -- exclusions are now EXPLICIT so the engines share one contract
+      AND l_suppkey IS NOT NULL
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0.0 AND s_suppkey IS NOT NULL)
     GROUP BY p_brand, p_size
     """,
     section="J3,A4,A7",
-    note="TPC-H Q16 shape: NOT IN over a key subquery (anti join; keys non-null) "
-    "+ count(DISTINCT) per group; negative-balance suppliers stand in for the "
-    "complaints list (no comment column in fixture)",
+    note="TPC-H Q16 shape: NOT IN over a key subquery (anti join) + "
+    "count(DISTINCT) per group; negative-balance suppliers stand in for the "
+    "complaints list (no comment column in fixture). NULL keys are excluded "
+    "EXPLICITLY on both engines (r11): SQL NOT IN silently drops a NULL lhs "
+    "while the anti join keeps it — a supplierless lineitem used to create "
+    "a phantom zero-count group engine-side only",
 )
 def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, part, supp = _t(spark, sf_dir, "lineitem", "part", "supplier")
-    bad = supp.filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    li = li.filter(F.col("l_suppkey").isNotNull())
+    bad = supp.filter(
+        F.col("s_acctbal") < 0.0
+    ).filter(F.col("s_suppkey").isNotNull()).select("s_suppkey")
     wanted = part.filter(
         (F.col("p_brand") != "Brand#1")
         & (F.col("p_type") != "PROMO")

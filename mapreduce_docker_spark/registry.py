@@ -226,6 +226,18 @@ def _load_all() -> None:
 #     zero-volume year now yields a NULL share on both engines
 #     (tests/test_crafted_truth36.py). q8 is an r7-cohort name; its fix
 #     re-cert takes precedence over r12 freshness.
+#   * q16_parts_supplier — the NOT-IN/anti-join NULL asymmetry (r11
+#     probe, tests/test_crafted_truth37.py): SQL NOT IN silently drops
+#     a NULL lhs while Spark's left-anti KEEPS it, so a supplierless
+#     lineitem on a wanted part created a phantom zero-count group
+#     engine-side only (measured divergence). NULL keys now excluded
+#     EXPLICITLY on both engines, incl. inside the bad-list subquery
+#     (one NULL there would empty the whole NOT IN result).
+#   * q15_top_supplier — NULL-key law on the revenue view (r11 probe,
+#     same file): a supplierless revenue group could STEAL the max and
+#     empty the result after the supplier join (both engines agreed —
+#     alignment was fine — but the semantics were a trap); the view now
+#     excludes NULL supplier_no on both sides.
 # NaN-MEASURE FRONTIER (judge-r10 next-round #7): DECIDED this round —
 # see SCALING.md "NaN frontier". Measured, then split: rounded
 # sum/avg/min/max of NaN measures AGREE across engines (the dround
