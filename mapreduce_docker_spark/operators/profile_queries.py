@@ -115,7 +115,14 @@ def profile_orders_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     WITH o AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS pk_dup,
+             -- non-null rows minus distinct: orthogonal to pk_null below
+             -- (count(*) minus distinct would re-count every NULL key)
+             CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS pk_dup,
+             -- PK completeness (r11): NULL primary keys are OUTSIDE the
+             -- table contract every identity-keyed operator assumes
+             -- (dedup survivor election, doc-keyed joins, per-doc scoring)
+             -- — this gate is where an identityless row is caught
+             CAST(count(*) - count(o_orderkey) AS BIGINT) AS pk_null,
              CAST(count(*) - count(o_custkey) AS BIGINT) AS null_cust,
              CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_price
       FROM orders
@@ -136,18 +143,21 @@ def profile_orders_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame
         SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
     ),
     d AS (
-      SELECT CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_text,
+      SELECT CAST(count(*) - count(doc_id) AS BIGINT) AS pk_null,
+             CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_text,
              CAST(sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_drift
       FROM documents
     )
     SELECT * FROM (
       SELECT 'orders' AS table_name, 'pk_unique_o_orderkey' AS check_name, pk_dup AS violations FROM o
+      UNION ALL SELECT 'orders', 'not_null_o_orderkey', pk_null FROM o
       UNION ALL SELECT 'orders', 'not_null_o_custkey', null_cust FROM o
       UNION ALL SELECT 'orders', 'positive_o_totalprice', nonpos_price FROM o
       UNION ALL SELECT 'lineitem', 'positive_l_quantity', nonpos_qty FROM l
       UNION ALL SELECT 'lineitem', 'l_discount_in_unit_range', bad_discount FROM l
       UNION ALL SELECT 'lineitem', 'fk_l_orderkey_in_orders', orphans FROM lo
       UNION ALL SELECT 'customer', 'fk_c_nationkey_in_nation', orphans FROM cn
+      UNION ALL SELECT 'documents', 'not_null_doc_id', pk_null FROM d
       UNION ALL SELECT 'documents', 'non_empty_text', empty_text FROM d
       UNION ALL SELECT 'documents', 'n_chars_matches_text', n_chars_drift FROM d
     )
@@ -190,7 +200,11 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     o = orders.agg(
-        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("pk_dup"),
+        # non-null minus distinct: orthogonal to pk_null (see oracle note)
+        (F.count("o_orderkey") - F.count_distinct("o_orderkey")).alias("pk_dup"),
+        # PK completeness (r11): identityless rows break every identity-
+        # keyed operator downstream — caught HERE, not assumed away
+        (F.count(F.lit(1)) - F.count("o_orderkey")).alias("pk_null"),
         (F.count(F.lit(1)) - F.count("o_custkey")).alias("null_cust"),
         F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("nonpos_price"),
     )
@@ -217,6 +231,7 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("orphans"))
     )
     docs = load_table(spark, sf_dir, "documents").agg(
+        (F.count(F.lit(1)) - F.count("doc_id")).alias("pk_null"),
         F.sum(
             F.when(F.col("text").isNull() | (F.length("text") == 0), 1).otherwise(0)
         ).alias("empty_text"),
@@ -230,6 +245,7 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             o,
             [
                 ("pk_unique_o_orderkey", "pk_dup"),
+                ("not_null_o_orderkey", "pk_null"),
                 ("not_null_o_custkey", "null_cust"),
                 ("positive_o_totalprice", "nonpos_price"),
             ],
@@ -248,6 +264,7 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "documents",
             docs,
             [
+                ("not_null_doc_id", "pk_null"),
                 ("non_empty_text", "empty_text"),
                 ("n_chars_matches_text", "n_chars_drift"),
             ],

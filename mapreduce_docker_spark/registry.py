@@ -238,6 +238,12 @@ def _load_all() -> None:
 #     empty the result after the supplier join (both engines agreed —
 #     alignment was fine — but the semantics were a trap); the view now
 #     excludes NULL supplier_no on both sides.
+#   * dq_constraint_checks — the gate gained PK-completeness rows
+#     (not_null_o_orderkey, not_null_doc_id) as the operational edge of
+#     the r11 primary-key contract (SCALING.md): a NULL-doc_id probe
+#     measured ln(0) in the langid prior, span-tile winner divergence,
+#     and the NOT-IN asymmetry across every survivor oracle — all
+#     excluded by contract at ingest, counted by this gate.
 # NaN-MEASURE FRONTIER (judge-r10 next-round #7): DECIDED this round —
 # see SCALING.md "NaN frontier". Measured, then split: rounded
 # sum/avg/min/max of NaN measures AGREE across engines (the dround

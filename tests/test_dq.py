@@ -24,6 +24,7 @@ def dirty_dir(spark, tmp_path):
             (1, 10, "O", 100.0, "1995-01-01", "1-URGENT"),
             (1, 11, "F", 200.0, "1995-01-02", "2-HIGH"),   # duplicate PK
             (2, None, "O", -5.0, "1995-01-03", "3-MEDIUM"),  # null FK + nonpos price
+            (None, 12, "O", 50.0, "1995-01-04", "2-HIGH"),  # NULL PK (r11 contract)
         ],
         "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate string, o_orderpriority string",
     )
@@ -48,6 +49,7 @@ def dirty_dir(spark, tmp_path):
             (0, "hello world", "en", "s", 11),
             (1, "", "en", "s", 0),          # empty text
             (2, "abc", "en", "s", 99),      # n_chars drift
+            (None, "id-less", "en", "s", 7),  # NULL PK (r11 contract)
         ],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
@@ -59,16 +61,18 @@ def test_every_check_fires_on_dirty_data(spark, dirty_dir):
         (r["table_name"], r["check_name"]): r["violations"]
         for r in dq_constraint_checks(spark, dirty_dir).collect()
     }
-    assert got[("orders", "pk_unique_o_orderkey")] == 1
+    assert got[("orders", "pk_unique_o_orderkey")] == 1  # NULL PK row NOT re-counted here
+    assert got[("orders", "not_null_o_orderkey")] == 1
     assert got[("orders", "not_null_o_custkey")] == 1
     assert got[("orders", "positive_o_totalprice")] == 1
     assert got[("lineitem", "positive_l_quantity")] == 1
     assert got[("lineitem", "l_discount_in_unit_range")] == 1
     assert got[("lineitem", "fk_l_orderkey_in_orders")] == 1
     assert got[("customer", "fk_c_nationkey_in_nation")] == 1
+    assert got[("documents", "not_null_doc_id")] == 1
     assert got[("documents", "non_empty_text")] == 1
     assert got[("documents", "n_chars_matches_text")] == 1
-    assert len(got) == 9
+    assert len(got) == 11
 
 
 def test_histogram_partitions_all_orders(spark):
