@@ -132,6 +132,7 @@ ZERO_PROBE = [
     # ratio-heavy neighbors that must stay NULL-safe on zero sums
     "orders_cohort_ltv",
     "q14_promo_revenue_share",
+    "q8_market_share",  # zero-volume year -> NULL share (r11 division audit)
     "text_curation_pipeline",
     "text_unigram_surprisal",
     "text_length_buckets",
