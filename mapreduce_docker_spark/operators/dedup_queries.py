@@ -576,7 +576,7 @@ def dedup_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_UNIT = """
+_SQL_UNIT = f"""
     WITH unit AS (
       SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE) /
@@ -584,10 +584,17 @@ _SQL_UNIT = """
                  list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
                  (a, b) -> a + b))) AS u
       FROM embeddings
+      -- dimension law (r11 random-differential probe, seed 1): the index's
+      -- cosine space has a FIXED dimensionality; a vector of any other
+      -- length is outside it by contract. Without this, a short vector's
+      -- dot products read past its end — Spark's zip_with pads with NULL
+      -- (NULL cosine) while DuckDB's e[i] indexing yields a DIFFERENT
+      -- partial sum, a measured value divergence on random fixtures
+      WHERE len(embedding) = {DEDUP_EMB_DIM}
       -- finite-norm law (r10 extended probe): a NaN/Inf component defines
       -- the vector out of cosine space; DuckDB's NaN-is-greatest ordering
       -- would otherwise PASS the > 0 guard that must reject it
-      WHERE isfinite(list_reduce(list_prepend(0.0,
+        AND isfinite(list_reduce(list_prepend(0.0,
               list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
               (a, b) -> a + b))
         AND list_reduce(list_prepend(0.0,
@@ -618,9 +625,16 @@ def _unit_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, b: a + b,
     )
     norm = F.sqrt(sq_sum)
+    # dimension law (r11): wrong-length vectors are outside the fixed-dim
+    # cosine space — zip_with pads the short side with NULL (NULL cosine)
+    # while DuckDB e[i] indexing yields a different partial sum
     # finite-norm law (r10): sq_sum < inf rejects NaN (NaN sorts greatest
     # in Spark, so NaN < inf is false) and +Inf alike — oracle isfinite twin
-    return emb.filter((sq_sum > 0) & (sq_sum < F.lit(float("inf")))).select(
+    return emb.filter(
+        (F.size("embedding") == DEDUP_EMB_DIM)
+        & (sq_sum > 0)
+        & (sq_sum < F.lit(float("inf")))
+    ).select(
         "vec_id",
         "label",
         F.transform(F.col("embedding"), lambda x: x.cast("double") / norm).alias("u"),
@@ -650,10 +664,14 @@ _SQL_SRP_COMMON = f"""
       -- zero-norm vectors are defined out of cosine semantics (see _SQL_UNIT)
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM embeddings
+      -- dimension law (r11, see _SQL_UNIT): a wrong-length vector reads
+      -- past its end in the plane dot below (e[i] NULL on DuckDB vs
+      -- zip_with NULL-pad on Spark — divergent buckets on random fixtures)
+      WHERE len(embedding) = {DEDUP_EMB_DIM}
       -- finite-norm law (r10 extended probe): a NaN/Inf component defines
       -- the vector out of cosine space; DuckDB's NaN-is-greatest ordering
       -- would otherwise PASS the > 0 guard that must reject it
-      WHERE isfinite(list_reduce(list_prepend(0.0,
+        AND isfinite(list_reduce(list_prepend(0.0,
               list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
               (a, b) -> a + b))
         AND list_reduce(list_prepend(0.0,
@@ -710,10 +728,12 @@ _SQL_DEDUP_SRP = _SQL_SRP_COMMON + f""",
           list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
           (a, b) -> a + b))) AS u
       FROM embeddings
-      -- finite-norm law (r10 extended probe): a NaN/Inf component defines
-      -- the vector out of cosine space; DuckDB's NaN-is-greatest ordering
-      -- would otherwise PASS the > 0 guard that must reject it
-      WHERE isfinite(list_reduce(list_prepend(0.0,
+      -- dimension law (r11, see _SQL_UNIT) + finite-norm law (r10): a
+      -- wrong-length / NaN / Inf vector is outside the fixed-dim cosine
+      -- space; DuckDB's NaN-is-greatest ordering would otherwise PASS the
+      -- > 0 guard that must reject it
+      WHERE len(embedding) = {DEDUP_EMB_DIM}
+        AND isfinite(list_reduce(list_prepend(0.0,
               list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
               (a, b) -> a + b))
         AND list_reduce(list_prepend(0.0,
@@ -773,8 +793,12 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # zero-norm rows defined out (ANSI divide guard) — matches the oracle's
     # filtered ed/unit CTEs, see _unit_vectors
-    # finite-norm law (r10): see _unit_vectors
-    unit = emb.filter((sq_sum > 0) & (sq_sum < F.lit(float("inf")))).select(
+    # dimension law (r11) + finite-norm law (r10): see _unit_vectors
+    unit = emb.filter(
+        (F.size("embedding") == DEDUP_EMB_DIM)
+        & (sq_sum > 0)
+        & (sq_sum < F.lit(float("inf")))
+    ).select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double") / F.sqrt(sq_sum)).alias(
             "u"
@@ -1208,6 +1232,13 @@ DEDUP_CHAIN_DELAY_US = 86_400_000_000  # 24 h
       SELECT event_id, user_id, event_type, epoch_us(ts::TIMESTAMP) AS us
       FROM events
       WHERE ts IS NOT NULL  -- event-time contract (r10; matches the engine)
+        -- NULL-key law (r11 random-differential probe): a chain is keyed by
+        -- (user_id, event_type); a NULL component has no chain identity.
+        -- The engine's grouped scan treated NULL as an ordinary group key
+        -- while this oracle's equality joins silently dropped those groups
+        -- — explicit exclusion on BOTH engines (the Q15/Q16 NULL-join-key
+        -- precedent applied to the dedup key)
+        AND user_id IS NOT NULL AND event_type IS NOT NULL
     ),
     kept AS (
       SELECT user_id, event_type, min(us) AS us FROM ev GROUP BY 1, 2
@@ -1243,10 +1274,16 @@ DEDUP_CHAIN_DELAY_US = 86_400_000_000  # 24 h
 def dedup_chain_within_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # event-time contract (r10 degenerate sweep): an event without a
     # timestamp does not exist for time-chain semantics — the oracle's
-    # recursive min(us) skipped NULLs while the Arrow scanner kept them
+    # recursive min(us) skipped NULLs while the Arrow scanner kept them.
+    # NULL-key law (r11): a NULL user_id/event_type has no chain identity
+    # (see the oracle's ev CTE)
     ev = (
         load_table(spark, sf_dir, "events")
-        .filter(F.col("ts").isNotNull())
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
         .select(
             "event_id", "user_id", "event_type", "ts", F.unix_micros("ts").alias("us")
         )

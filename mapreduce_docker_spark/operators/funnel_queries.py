@@ -461,6 +461,12 @@ def events_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFram
       SELECT DISTINCT user_id,
              date_trunc('week', CAST(ts::TIMESTAMP AS DATE)) AS wk
       FROM events
+      -- event-time contract (r11): a timeless event grants no cohort week.
+      -- ALSO an oracle-integrity requirement: DuckDB 1.0's hash aggregate
+      -- can leak a corrupted non-NULL sentinel for a NULL date_trunc key
+      -- from parquet (measured, tools/random_differential.py notes), so
+      -- NULL time-derived group keys must never reach an oracle GROUP BY
+      WHERE ts IS NOT NULL
     ),
     cohort AS (
       SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id
@@ -493,8 +499,11 @@ def events_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFram
     ),
 )
 def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # event-time contract (r11): timeless events grant no cohort week (and
+    # NULL time-derived group keys are barred from oracles — see the SQL)
     uw = (
         load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
         .select(
             "user_id",
             F.date_trunc("week", F.col("ts").cast("date")).cast("date").alias("wk"),

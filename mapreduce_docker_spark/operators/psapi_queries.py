@@ -57,7 +57,10 @@ def q_psapi_priority_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     psdf = load_table(spark, sf_dir, "orders").pandas_api()
     filtered = psdf[psdf["o_totalprice"] > 1000.0]
-    grouped = filtered.groupby("o_orderpriority").agg(
+    # dropna=False (r11 random-differential probe): pandas groupby DROPS the
+    # NULL key group by default — SQL GROUP BY keeps it, so a NULL-priority
+    # order silently vanished from the engine result only
+    grouped = filtered.groupby("o_orderpriority", dropna=False).agg(
         n_orders=("o_orderkey", "count"),
         n_customers=("o_custkey", "nunique"),
         revenue=("o_totalprice", "sum"),

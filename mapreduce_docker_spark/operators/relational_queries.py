@@ -434,21 +434,26 @@ def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     """
     SELECT o_custkey, o_orderkey,
            floor((sum(o_totalprice) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             PARTITION BY o_custkey ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100.0 + 0.5) / 100.0 AS running_spend,
            count(*) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             PARTITION BY o_custkey ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)     AS order_seq
     FROM orders
     """,
     section="W:frame",
-    note="running total with explicit rows-frame; o_orderkey tiebreak makes the frame deterministic under equal dates",
+    note="running total with explicit rows-frame; o_orderkey tiebreak makes the frame deterministic under equal dates; NULLS LAST explicit — undated orders append after all known history (window NULL-placement law, r11)",
 )
 def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = _t(spark, sf_dir, "orders")
+    # window NULL-placement law (r11 random-differential probe): Spark ASC
+    # is NULLS FIRST, DuckDB NULLS LAST — a NULL order date silently
+    # prepended vs appended every partition's running history (17/40 rows
+    # diverged on the seed-1 fixture). Same convention as the ntile law
+    # (r10): NULLS LAST, explicit on BOTH engines.
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .orderBy(F.asc_nulls_last("o_orderdate"), F.asc("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return orders.select(
@@ -868,17 +873,20 @@ def agg_grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataF
            last_value(o_orderkey)  OVER w AS latest_orderkey,
            nth_value(o_orderkey, 2) OVER w AS second_orderkey
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
     section="W:analytic",
-    note="first/last/nth_value with a full-partition frame (default frame would make last_value = current row)",
+    note="first/last/nth_value with a full-partition frame (default frame would make last_value = current row); NULLS LAST explicit (window NULL-placement law, r11)",
 )
 def window_first_last_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = _t(spark, sf_dir, "orders")
+    # window NULL-placement law (r11): an undated order must not become the
+    # partition's FIRST value (Spark ASC default) while the oracle calls it
+    # the LAST — see window_running_spend
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .orderBy(F.asc_nulls_last("o_orderdate"), F.asc("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return orders.select(
@@ -1471,15 +1479,16 @@ def agg_percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(cume_dist()    OVER w * 10000.0 + 0.5) / 10000.0 AS cume,
            CAST(ntile(10) OVER w AS INTEGER) AS decile
     FROM orders
-    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC)
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC NULLS LAST, o_orderkey ASC)
     """,
     section="W:rank",
-    note="distribution window functions: percent_rank / cume_dist / ntile over a deterministic total order",
+    note="distribution window functions: percent_rank / cume_dist / ntile over a deterministic total order; NULLS LAST explicit (window NULL-placement law, r11 — a NULL price at rank 1 shifted every percent_rank in the partition)",
 )
 def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = _t(spark, sf_dir, "orders")
+    # window NULL-placement law (r11): see window_running_spend / ntile (r10)
     w = Window.partitionBy("o_orderstatus").orderBy(
-        F.asc("o_totalprice"), F.asc("o_orderkey")
+        F.asc_nulls_last("o_totalprice"), F.asc("o_orderkey")
     )
     return orders.select(
         "o_orderkey",
@@ -1782,10 +1791,20 @@ def agg_stats_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same single-pass co-moment state corr uses internally, and CASE
     # evaluates the division lazily, so values are identical on every
     # non-degenerate group and NULL (not a crash) on constant ones.
+    #
+    # Pairwise-complete law (r11 random-differential probe): corr is defined
+    # over rows where BOTH inputs are non-NULL. The reconstruction's stddevs
+    # must run over that same pairwise-complete population — a bare
+    # stddev_pop(l_quantity) also counts rows whose PRICE is NULL, silently
+    # denominating the ratio with the wrong variance (corr drifted in the
+    # 3rd decimal on the seed-1 fixture; a mostly-NULL group read 0.016
+    # where the true pairwise corr was 1.0).
+    pair_ok = F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    q_pc = F.when(pair_ok, F.col("l_quantity"))
+    p_pc = F.when(pair_ok, F.col("l_extendedprice"))
     corr_guarded = F.when(
-        (F.stddev_pop("l_quantity") > 0) & (F.stddev_pop("l_extendedprice") > 0),
-        F.covar_pop("l_quantity", "l_extendedprice")
-        / (F.stddev_pop("l_quantity") * F.stddev_pop("l_extendedprice")),
+        (F.stddev_pop(q_pc) > 0) & (F.stddev_pop(p_pc) > 0),
+        F.covar_pop(q_pc, p_pc) / (F.stddev_pop(q_pc) * F.stddev_pop(p_pc)),
     )
     return li.groupBy("l_returnflag").agg(
         dround(corr_guarded, 6).alias("qp_corr"),
@@ -2114,7 +2133,13 @@ def agg_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT date_trunc('month', o_orderdate::TIMESTAMP) AS month,
              {rsql("sum(o_totalprice)", 2)} AS revenue,
              CAST(count(*) AS BIGINT) AS n_orders
-      FROM orders GROUP BY 1
+      FROM orders
+      -- order-time contract (r11 random-differential seed 10): undated
+      -- orders have no month — unexcluded, the NULL month rode the lag
+      -- chain FIRST on Spark and LAST on DuckDB, shifting both its own
+      -- growth and the first real month's
+      WHERE o_orderdate IS NOT NULL
+      GROUP BY 1
     ),
     g AS (
       SELECT CAST(month AS DATE) AS month, revenue, n_orders,
@@ -2138,8 +2163,11 @@ def agg_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def orders_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # order-time contract (r11): undated orders are outside the monthly
+    # time series — see the oracle's WHERE and orders_cohort_ltv
     m = (
         load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
         .groupBy(F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"))
         .agg(
             dround(F.sum("o_totalprice"), 2).alias("revenue"),
@@ -2259,6 +2287,11 @@ def sketch_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey, o_totalprice,
              date_trunc('month', o_orderdate::TIMESTAMP) AS m
       FROM orders
+      -- order-time contract (r11 random-differential probe): an undated
+      -- order belongs to no cohort month and no offset — without this a
+      -- NULL month_offset rode the cumulative window at engine-divergent
+      -- positions (Spark NULLS FIRST folded it into every later offset)
+      WHERE o_orderdate IS NOT NULL
     ),
     first_m AS (SELECT o_custkey, min(m) AS cohort_m FROM o GROUP BY o_custkey),
     rev AS (
@@ -2296,10 +2329,16 @@ def sketch_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_custkey",
-        "o_totalprice",
-        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("m"),
+    # order-time contract (r11): undated orders are outside cohort-month
+    # semantics — the event-time-contract precedent applied to orders
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select(
+            "o_custkey",
+            "o_totalprice",
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("m"),
+        )
     )
     first_m = o.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
     rev = (

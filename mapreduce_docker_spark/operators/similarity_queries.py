@@ -184,10 +184,12 @@ def _srp_bucket_col() -> "F.Column":
                  list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
                  (a, b) -> a + b))) AS u
       FROM embeddings
-      -- finite-norm law (r10 extended probe): a NaN/Inf component defines
-      -- the vector out of cosine space; DuckDB's NaN-is-greatest ordering
-      -- would otherwise PASS the > 0 guard that must reject it
-      WHERE isfinite(list_reduce(list_prepend(0.0,
+      -- dimension law (r11 random-differential probe) + finite-norm law
+      -- (r10): wrong-length / NaN / Inf vectors are outside the fixed-dim
+      -- cosine space (a short vector's plane dot reads past its end —
+      -- divergent buckets vs Spark's zip_with NULL-pad)
+      WHERE len(embedding) = {EMB_DIM}
+        AND isfinite(list_reduce(list_prepend(0.0,
               list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
               (a, b) -> a + b))
         AND list_reduce(list_prepend(0.0,
@@ -218,8 +220,12 @@ def sim_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, b: a + b,
     )
     # zero-norm rows defined out (ANSI divide guard; oracle WHERE matches)
-    # finite-norm law (r10): see _unit_vectors
-    unit = emb.filter((sq_sum > 0) & (sq_sum < F.lit(float("inf")))).select(
+    # dimension law (r11) + finite-norm law (r10): see _unit_vectors
+    unit = emb.filter(
+        (F.size("embedding") == EMB_DIM)
+        & (sq_sum > 0)
+        & (sq_sum < F.lit(float("inf")))
+    ).select(
         "vec_id",
         bucket.alias("bucket"),
         F.transform(F.col("embedding"), lambda x: x.cast("double") / F.sqrt(sq_sum)).alias(
@@ -280,10 +286,11 @@ def sim_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
           list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
           (a, b) -> a + b))) AS u
       FROM embeddings
-      -- finite-norm law (r10 extended probe): a NaN/Inf component defines
-      -- the vector out of cosine space; DuckDB's NaN-is-greatest ordering
-      -- would otherwise PASS the > 0 guard that must reject it
-      WHERE isfinite(list_reduce(list_prepend(0.0,
+      -- dimension law (r11, see sim_ann_srp) + finite-norm law (r10):
+      -- wrong-length / NaN / Inf vectors are outside the fixed-dim
+      -- cosine space
+      WHERE len(embedding) = {EMB_DIM}
+        AND isfinite(list_reduce(list_prepend(0.0,
               list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
               (a, b) -> a + b))
         AND list_reduce(list_prepend(0.0,
@@ -340,8 +347,12 @@ def sim_ann_srp_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, b: a + b,
     )
     # zero-norm rows defined out (ANSI divide guard; oracle WHERE matches)
-    # finite-norm law (r10): see _unit_vectors
-    unit = emb.filter((sq_sum > 0) & (sq_sum < F.lit(float("inf")))).select(
+    # dimension law (r11) + finite-norm law (r10): see _unit_vectors
+    unit = emb.filter(
+        (F.size("embedding") == EMB_DIM)
+        & (sq_sum > 0)
+        & (sq_sum < F.lit(float("inf")))
+    ).select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double") / F.sqrt(sq_sum)).alias(
             "u"

@@ -135,13 +135,21 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT doc_id, lang, unnest({_SQL_TOKS}) AS word FROM documents
     ),
+    -- unlabeled-class law (r11 random-differential probe, seed 3): a NULL
+    -- lang is NOT a trainable class — a classifier trains on LABELED docs;
+    -- unlabeled docs are still SCORED (their words ride the grid) but can
+    -- never be predicted. This oracle already dropped the NULL class
+    -- accidentally (the lt.lang = g.lang join below never matches NULL)
+    -- while the engine's grid carried it as a real candidate; the law is
+    -- now explicit on both engines.
     lang_word AS (
-      SELECT lang, word, count(*) AS c FROM toks GROUP BY lang, word
+      SELECT lang, word, count(*) AS c FROM toks
+      WHERE lang IS NOT NULL GROUP BY lang, word
     ),
     lang_tot AS (
       SELECT lang, count(*) AS t,
              count(DISTINCT doc_id) AS n_docs
-      FROM toks GROUP BY lang
+      FROM toks WHERE lang IS NOT NULL GROUP BY lang
     ),
     vocab AS (SELECT count(DISTINCT word) AS v FROM toks),
     n_all AS (SELECT count(*) AS n FROM documents),
@@ -180,8 +188,12 @@ def text_langid_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "lang", F.explode(tokens("text")).alias("word")
     )
-    lang_word = toks.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("c"))
-    lang_tot = toks.groupBy("lang").agg(
+    # unlabeled-class law (r11): NULL lang is not a trainable class — model
+    # relations train on labeled tokens only; unlabeled docs still score
+    # against the grid by word (see the oracle's lang_word/lang_tot WHERE)
+    model_toks = toks.filter(F.col("lang").isNotNull())
+    lang_word = model_toks.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("c"))
+    lang_tot = model_toks.groupBy("lang").agg(
         F.count(F.lit(1)).alias("t"), F.count_distinct("doc_id").alias("n_docs")
     )
     vocab = toks.agg(F.count_distinct("word").alias("v"))

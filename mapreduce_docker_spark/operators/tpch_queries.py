@@ -58,7 +58,13 @@ def _ts(s: str):
     "q2_min_cost_supplier",
     f"""
     WITH cost AS (
-      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+      -- zero/NULL-quantity law (r11 random-differential probe): a
+      -- zero-quantity line defines no unit cost — NULL, never a divide.
+      -- DuckDB's x/0 is NULL anyway; the CASE makes the law explicit and
+      -- mirrors the engine's lazy guard (Spark ANSI THROWS on the raw /)
+      SELECT l_partkey, l_suppkey,
+             min(CASE WHEN l_quantity <> 0 THEN l_extendedprice / l_quantity END)
+               AS unit_cost
       FROM lineitem GROUP BY l_partkey, l_suppkey
     ),
     eu AS (
@@ -91,8 +97,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, supp, nation, region, part = _t(
         spark, sf_dir, "lineitem", "supplier", "nation", "region", "part"
     )
+    # zero/NULL-quantity law (r11): lazy CASE so the division never
+    # evaluates on a zero row (ANSI DIVIDE_BY_ZERO; oracle CASE twin) —
+    # same guard family as q14/q8's zero-denominator shares
+    unit_cost = F.when(
+        F.col("l_quantity") != 0, F.col("l_extendedprice") / F.col("l_quantity")
+    )
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+        F.min(unit_cost).alias("unit_cost")
     )
     # supplier x nation x region is bounded (dims fixed at any sf) -> broadcast
     eu = (

@@ -244,6 +244,47 @@ def _load_all() -> None:
 #     measured ln(0) in the langid prior, span-tile winner divergence,
 #     and the NOT-IN asymmetry across every survivor oracle — all
 #     excluded by contract at ingest, counted by this gate.
+#   * THE RANDOM-DIFFERENTIAL WAVE (late r11, tools/random_differential.py
+#     seed 1: 14 measured divergences, all fixed same-round, each pinned
+#     by hand in tests/test_crafted_truth38.py, laws in SCALING.md
+#     "Random-fixture differential laws"). Engine paths changed OUTSIDE
+#     the r11 window -> r12 re-certs, grouped by law:
+#       - window NULL-placement law (asc_nulls_last + oracle NULLS LAST):
+#         window_first_last_orders, window_distribution_ranks
+#         (window_running_spend is a standing canary — re-certified every
+#         window by construction);
+#       - order-time contract: orders_cohort_ltv;
+#       - zero-quantity unit cost (lazy CASE): q2_min_cost_supplier;
+#       - session boundary law (oracle-side > for Spark's inclusive
+#         merge, measured micro-test): events_session_5m;
+#       - pandas dropna law: psapi_priority_order_stats;
+#       - pairwise-complete corr: agg_stats_quantity_price;
+#       - dimension law at every cosine-space ingress (_unit_vectors /
+#         _SQL_UNIT / _SQL_SRP_COMMON / inline SRP CTEs):
+#         dedup_embedding_pairs, dedup_embedding_clusters,
+#         sim_cosine_topk, sim_label_cohesion, sim_ann_srp,
+#         sim_ann_srp_banded, sim_ann_ivf, sim_ann_ivf_stored,
+#         emb_vector_store_build (+ rows-only sim_cosine_topk_pandas,
+#         re-pinned in pytest);
+#       - NULL-key chain law: dedup_chain_within_delay;
+#       - unlabeled-class law (seed 3: a NULL lang trained into the
+#         model and WON a real doc's argmax engine-side while the
+#         oracle's equality join dropped the class): text_langid_nb;
+#       - Arrow NaN group key (seed 3 rows-only lane: a NULL bigint
+#         key crosses the Arrow boundary as float NaN, so the r11
+#         `is None` guard still crashed int(NaN) — now pd.isna):
+#         streaming_sessionize (rows-only; pinned in
+#         tests/test_streaming.py null-key case);
+#       - order/event-time contract on time-derived GROUP BY keys
+#         (seed 10 + the flaky seed-3/4 flags, root cause DOUBLE:
+#         Spark NULLS-FIRST vs DuckDB NULLS-LAST in the lag chain AND
+#         a measured DuckDB 1.0 hazard where a parquet-sourced NULL
+#         date_trunc group key leaks into the window sort as a
+#         corrupted non-NULL sentinel that ignores NULLS LAST —
+#         SCALING.md random-differential laws): NULL time rows are
+#         excluded at ingress on both engines in
+#         orders_mom_revenue_growth, events_retention_cohorts,
+#         streaming_static_enrichment.
 # NaN-MEASURE FRONTIER (judge-r10 next-round #7): DECIDED this round —
 # see SCALING.md "NaN frontier". Measured, then split: rounded
 # sum/avg/min/max of NaN measures AGREE across engines (the dround

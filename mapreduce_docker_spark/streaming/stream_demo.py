@@ -890,8 +890,10 @@ def _sessionize_per_user(
     else:
         last_us, idx, start_us, n = None, 0, None, 0
     # a NULL user_id is a valid group key (the batch twin keeps it as its
-    # own partition); int(None) would crash the close-emit path
-    uid = int(key[0]) if key[0] is not None else None
+    # own partition). The Arrow boundary delivers a NULL bigint key as
+    # float NaN, NOT None (r11 random-differential seed 3: the `is None`
+    # guard alone still crashed int(NaN)) — pd.isna covers both spellings
+    uid = None if pd.isna(key[0]) else int(key[0])
     closed: list[tuple[Any, int, int, int, int]] = []
     for us in batch["us"].to_numpy():
         us = int(us)
@@ -959,8 +961,13 @@ def run_stream_static_enrichment(
     """
     from mapreduce_docker_spark.sources.catalog import load_table
 
+    # event-time contract (r11): a user with no timed activity has no
+    # cohort week — excluded from the enrichment dim (and NULL time-derived
+    # group keys are barred from oracles, see streaming_static_enrichment's
+    # SQL / SCALING.md random-differential laws)
     cohort = (
         load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
         .groupBy("user_id")
         .agg(
             F.min(

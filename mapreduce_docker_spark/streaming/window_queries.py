@@ -167,8 +167,14 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE ts IS NOT NULL  -- event-time contract (see events_tumbling_10m)
     ),
     marked AS (
+      -- boundary law (r11 random-differential probe, measured micro-test):
+      -- Spark's session merge is INCLUSIVE at the gap — an event at
+      -- EXACTLY prev + 5min still extends the session (session_window's
+      -- internal merge is start <= current_end), so a new session begins
+      -- only at a STRICTLY larger gap. The previous >= split one event
+      -- earlier on any fixture with an exact-300s gap.
       SELECT user_id, ts, us,
-             CASE WHEN prev_us IS NULL OR us - prev_us >= {_5M_US} THEN 1 ELSE 0 END AS is_new
+             CASE WHEN prev_us IS NULL OR us - prev_us > {_5M_US} THEN 1 ELSE 0 END AS is_new
       FROM seq
     ),
     sess AS (
@@ -184,7 +190,7 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sess GROUP BY user_id, session_id
     """,
     section="ST5,ST7",
-    note="session windows (5-min inactivity gap) per user; oracle is the classic lag+cumsum sessionization — new session iff gap >= 5 min, matching Spark's [ts, ts+gap) overlap-merge rule",
+    note="session windows (5-min inactivity gap) per user; oracle is the classic lag+cumsum sessionization — new session iff gap > 5 min (STRICT: Spark's session merge is inclusive at exactly the gap, measured r11)",
 )
 def events_session_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -541,7 +547,12 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH uw AS (
       SELECT user_id,
              min(date_trunc('week', CAST(ts::TIMESTAMP AS DATE))) AS cohort_wk
-      FROM events GROUP BY user_id
+      FROM events
+      -- event-time contract (r11): no timed activity -> no cohort week;
+      -- also bars NULL time-derived keys from the outer GROUP BY (DuckDB
+      -- 1.0 sentinel-key hazard, SCALING.md random-differential laws)
+      WHERE ts IS NOT NULL
+      GROUP BY user_id
     )
     SELECT CAST(c.cohort_wk AS DATE) AS cohort_week, e.event_type,
            CAST(count(*) AS BIGINT) AS n_events

@@ -143,13 +143,19 @@ def test_label_cohesion_hand_computed_angles(spark, tmp_path):
     angles: (3,4)->(0.6,0.8), (4,3)->(0.8,0.6), (5,0)->(1,0) give pair
     cosines 0.96 / 0.6 / 0.8 -> avg 0.7867 (half-up at 4), max 0.96.
     A single-member label yields no pair and is absent; vec_id 200 is
-    outside the strict < 200 sample bound."""
+    outside the strict < 200 sample bound. Vectors are zero-padded to
+    the index dimension (r11 dimension law) — appended zeros change no
+    dot product or norm, so the hand numbers stand."""
+
+    def p64(v):
+        return v + [0.0] * (64 - len(v))
+
     emb = [
-        (1, "a", [3.0, 4.0]),
-        (2, "a", [4.0, 3.0]),
-        (3, "a", [5.0, 0.0]),
-        (200, "a", [9.0, 9.0]),  # excluded by the bound
-        (4, "b", [1.0, 2.0]),    # lone member: no intra pair
+        (1, "a", p64([3.0, 4.0])),
+        (2, "a", p64([4.0, 3.0])),
+        (3, "a", p64([5.0, 0.0])),
+        (200, "a", p64([9.0, 9.0])),  # excluded by the bound
+        (4, "b", p64([1.0, 2.0])),    # lone member: no intra pair
     ]
     spark.createDataFrame(
         emb, "vec_id long, label string, embedding array<float>"

@@ -122,13 +122,15 @@ def _gen_vecs() -> dict[int, list[float]]:
     """Four dyadic base directions + md5 perturbations in multiples of
     1/256: every coordinate is float32-exact, so the parquet round trip
     through ``array<float>`` loses nothing and the Python recompute sees
-    bit-identical inputs."""
+    bit-identical inputs. Zero-padded to the index dimension (r11
+    dimension law): appended zeros change no norm, dot product, mean, or
+    assignment, so every hand number below stands."""
     vecs = {}
     for vid in range(_N):
         b = _BASES[vid % 4]
         h = hashlib.md5(f"{_FIX_SEED}:{vid}".encode()).digest()
         pert = [((h[i] % 33) - 16) / 256.0 for i in range(_DIM)]
-        vecs[vid] = [b[i] + pert[i] for i in range(_DIM)]
+        vecs[vid] = [b[i] + pert[i] for i in range(_DIM)] + [0.0] * (64 - _DIM)
     return vecs
 
 

@@ -123,13 +123,19 @@ def test_finite_norm_law_rejects_nan_vector_on_both_engines(spark, tmp_path):
     """A vector with a NaN component has a NaN norm: DuckDB's
     NaN-is-greatest would PASS the bare > 0 guard, so the finite-norm law
     must exclude it from cosine space on BOTH engines; the Inf vector
-    falls the same way. Only the two finite vectors pair up."""
+    falls the same way. Only the two finite vectors pair up. Vectors are
+    zero-padded to the index dimension (r11 dimension law) — appended
+    zeros change no norm or cosine."""
+
+    def p64(v):
+        return v + [0.0] * (64 - len(v))
+
     vecs = [
-        (1, [1.0, 0.0, 0.0, 0.0], 0),
-        (2, [0.5, 0.5, 0.0, 0.0], 0),
-        (3, [float("nan"), 1.0, 0.0, 0.0], 0),
-        (4, [float("inf"), 0.0, 0.0, 0.0], 0),
-        (5, [0.0, 0.0, 0.0, 0.0], 0),  # zero-norm (standing law)
+        (1, p64([1.0, 0.0, 0.0, 0.0]), 0),
+        (2, p64([0.5, 0.5, 0.0, 0.0]), 0),
+        (3, p64([float("nan"), 1.0, 0.0, 0.0]), 0),
+        (4, p64([float("inf"), 0.0, 0.0, 0.0]), 0),
+        (5, p64([0.0, 0.0, 0.0, 0.0]), 0),  # zero-norm (standing law)
     ]
     _write(
         spark.createDataFrame(

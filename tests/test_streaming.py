@@ -368,6 +368,59 @@ def test_streaming_sessionize_state_spans_micro_batches(spark, tmp_path):
     assert (r["start_us"], r["end_us"]) == (0, 2 * hour)
 
 
+def test_streaming_sessionize_null_user_key_arrives_as_nan(spark, tmp_path):
+    """A NULL bigint group key crosses the Arrow boundary as float NaN, not
+    None (r11 random-differential seed 3): the `is None` guard alone still
+    crashed int(NaN) in the close-emit path. The NULL-user session must
+    CLOSE and emit with user_id NULL, exactly like the batch twin's
+    NULL-key partition."""
+    import os
+    from mapreduce_docker_spark.streaming.stream_demo import (
+        _SESS_OUT_SCHEMA,
+        _SESS_STATE_SCHEMA,
+        _sessionize_per_user,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    hour = 3_600_000_000
+    b1 = spark.createDataFrame(
+        [(1, None, 0), (2, None, 1 * hour), (3, None, 10 * hour)],
+        "event_id long, user_id long, us long",
+    )
+    d = tmp_path / "stream_in_nullkey"
+    b1.coalesce(1).write.parquet(str(d / "f1"))
+    os.utime(str(d / "f1"), (1_000_000, 1_000_000))
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*"))
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _sessionize_per_user,
+        outputStructType=_SESS_OUT_SCHEMA,
+        stateStructType=_SESS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("t_sess_nullkey")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("t_sess_nullkey").collect()
+    # the 0h/1h session closes at the 10h event (gap 9h > 6h) and emits
+    # under the NULL key; the 10h session stays open
+    assert len(rows) == 1, rows
+    r = rows[0]
+    assert r["user_id"] is None
+    assert (r["session_idx"], r["n_events"], r["start_us"], r["end_us"]) == (
+        1, 2, 0, 1 * hour,
+    )
+
+
 def test_native_dedup_within_watermark_matches_chain_twin(spark, tmp_path):
     """Crafted-truth pin of the NATIVE dropDuplicatesWithinWatermark against
     the oracle-proven batch twin dedup_chain_within_delay (VERDICT r6 #8).
