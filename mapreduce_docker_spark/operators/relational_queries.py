@@ -742,13 +742,18 @@ def scalar_math_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*)                                                  AS n_events,
-           floor((avg(CAST(json_extract_string(props, '$.k') AS INTEGER))) * 10000.0 + 0.5) / 10000.0 AS avg_k,
-           max(CAST(json_extract_string(props, '$.k') AS INTEGER))   AS max_k
+           -- malformed-props law (r11): a props string that does not parse
+           -- is NO properties — Spark's get_json_object returns NULL there,
+           -- DuckDB's json_extract_string THROWS without the guard
+           floor((avg(CAST(CASE WHEN json_valid(props)
+                           THEN json_extract_string(props, '$.k') END AS INTEGER))) * 10000.0 + 0.5) / 10000.0 AS avg_k,
+           max(CAST(CASE WHEN json_valid(props)
+               THEN json_extract_string(props, '$.k') END AS INTEGER)) AS max_k
     FROM events
     GROUP BY event_type
     """,
     section="F:json",
-    note="JSON-in-string extraction (events.props) -> typed aggregation",
+    note="JSON-in-string extraction (events.props) -> typed aggregation; malformed props extract NULL on both engines (r11 law)",
 )
 def json_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _t(spark, sf_dir, "events")
@@ -764,7 +769,9 @@ def json_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_variant_events",
     """
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed,
+           -- malformed-props law (r11): see json_event_props
+           CAST(CASE WHEN json_valid(props)
+                THEN json_extract_string(props, '$.k') END AS INTEGER) AS k_typed,
            CAST(NULL AS INTEGER)                              AS k_missing
     FROM events
     """,
@@ -777,7 +784,11 @@ def json_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def json_variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _t(spark, sf_dir, "events")
-    v = events.select("event_id", F.parse_json("props").alias("v"))
+    # malformed-props law (r11 random-differential probe): parse_json THROWS
+    # MALFORMED_RECORD_IN_PARSING on a non-JSON props string (measured);
+    # try_parse_json yields the NULL variant — "no properties", matching
+    # get_json_object's NULL and the oracle's json_valid guard
+    v = events.select("event_id", F.try_parse_json("props").alias("v"))
     return v.select(
         "event_id",
         F.variant_get("v", "$.k", "int").alias("k_typed"),
@@ -1503,7 +1514,11 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_map_entries",
     """
     WITH k AS (
+      -- malformed-props law (r11): json_keys THROWS on a non-JSON string
+      -- where Spark's from_json map is NULL (whose explode emits no rows);
+      -- the guard makes "unparseable -> no entries" explicit on both
       SELECT event_id, unnest(json_keys(props)) AS map_key, props FROM events
+      WHERE props IS NOT NULL AND json_valid(props)
     )
     SELECT event_id, map_key,
            CAST(json_extract(props, '$.' || map_key) AS INTEGER) AS map_value
@@ -1822,6 +1837,17 @@ def agg_stats_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- engine's map expressions keep (r10 degenerate probe; invisible on
     -- the fixture, whose props always carry keys). Contract: empty map
     -- -> (0, 0, 0); NULL props -> all NULL.
+    -- Malformed-props law (r11): an unparseable OR non-object props string
+    -- is NO properties (Spark's from_json map is NULL there; DuckDB's
+    -- json_keys would THROW on malformed and return [] on '[1,2]'/'42') —
+    -- the usable CTE makes the law one expression shared by all three.
+    WITH e AS (
+      SELECT event_id,
+             CASE WHEN props IS NOT NULL AND json_valid(props)
+                       AND json_type(props) = 'OBJECT'
+                  THEN props END AS props
+      FROM events
+    )
     SELECT event_id,
            CAST(CASE WHEN props IS NULL THEN NULL
                 ELSE len(json_keys(props)) END AS INTEGER) AS n_keys,
@@ -1833,7 +1859,7 @@ def agg_stats_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(len(list_filter(json_keys(props),
                     k -> CAST(json_extract(props, '$.' || k) AS INTEGER) * 2 > 100))
                   AS BIGINT) END                           AS n_large
-    FROM events
+    FROM e
     """,
     section="F:map",
     note="map higher-order functions: transform_keys/transform_values/map_filter over the parsed props map, folded to per-event scalars",

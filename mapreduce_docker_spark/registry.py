@@ -275,6 +275,14 @@ def _load_all() -> None:
 #         `is None` guard still crashed int(NaN) — now pd.isna):
 #         streaming_sessionize (rows-only; pinned in
 #         tests/test_streaming.py null-key case);
+#       - malformed-props law (the probe the wave added to BOTH the
+#         nasty fixture and the generator): an unparseable or
+#         valid-but-non-object props string is NO properties —
+#         engine parse_json THROWS without try_ (measured), DuckDB
+#         json_keys/json_extract_string THROW without json_valid,
+#         and '[1,2]' diverges [] keys vs NULL map without the
+#         json_type = OBJECT guard: json_event_props,
+#         json_variant_events, json_map_entries, map_hof_event_props;
 #       - order/event-time contract on time-derived GROUP BY keys
 #         (seed 10 + the flaky seed-3/4 flags, root cause DOUBLE:
 #         Spark NULLS-FIRST vs DuckDB NULLS-LAST in the lag chain AND

@@ -496,6 +496,66 @@ def test_langid_unlabeled_is_not_a_class_both_engines(spark, tmp_path):
     ) == want
 
 
+def test_malformed_props_are_no_properties_both_engines(spark, tmp_path):
+    """Malformed-props law (r11): an unparseable OR valid-but-non-object
+    props string is NO properties on both engines. Measured divergences
+    the law closes: Spark parse_json THROWS on 'not json {'
+    (MALFORMED_RECORD_IN_PARSING; now try_parse_json), DuckDB's
+    json_keys/json_extract_string THROW there without json_valid, and
+    '[1, 2]' is [] keys (count 0) on DuckDB vs a NULL map on Spark
+    without the json_type = OBJECT guard. Hand truths: doc 1's doubled
+    values are 120 + 2 = 122 with 120 > 100 large; '{}' is the EMPTY map
+    (0,0,0), distinct from the unparseable rows (all-NULL)."""
+    _write(
+        spark, tmp_path, "events",
+        [
+            (1, "view", '{"k": 60, "j": 1}'),
+            (2, "view", "not json {"),
+            (3, "view", "[1, 2]"),
+            (4, "view", "{}"),
+            (5, "view", None),
+            (6, "view", '{"k": 2}'),
+        ],
+        "event_id long, event_type string, props string",
+    )
+    from mapreduce_docker_spark.operators.relational_queries import (
+        json_event_props,
+        json_map_entries,
+        json_variant_events,
+        map_hof_event_props,
+    )
+
+    specs = all_specs()
+    # json_event_props: k values {60, 2} -> avg 31.0, max 60; all 6 count
+    want = [("view", 6, 31.0, 60)]
+    assert [tuple(r) for r in json_event_props(spark, str(tmp_path)).collect()] == want
+    assert _oracle(tmp_path, ("events",), specs["json_event_props"].sql) == want
+
+    # json_variant_events: only parsable OBJECT rows extract k
+    want = sorted(
+        [(1, 60, None), (2, None, None), (3, None, None),
+         (4, None, None), (5, None, None), (6, 2, None)]
+    )
+    got = sorted(tuple(r) for r in json_variant_events(spark, str(tmp_path)).collect())
+    assert got == want
+    assert sorted(_oracle(tmp_path, ("events",), specs["json_variant_events"].sql)) == want
+
+    # json_map_entries: entries exist only for parsable objects with keys
+    want = sorted([(1, "j", 1), (1, "k", 60), (6, "k", 2)])
+    got = sorted(tuple(r) for r in json_map_entries(spark, str(tmp_path)).collect())
+    assert got == want
+    assert sorted(_oracle(tmp_path, ("events",), specs["json_map_entries"].sql)) == want
+
+    # map_hof: empty map (0,0,0) vs no-properties (NULL,NULL,NULL)
+    want = sorted(
+        [(1, 2, 122, 1), (2, None, None, None), (3, None, None, None),
+         (4, 0, 0, 0), (5, None, None, None), (6, 1, 4, 0)]
+    )
+    got = sorted(tuple(r) for r in map_hof_event_props(spark, str(tmp_path)).collect())
+    assert got == want
+    assert sorted(_oracle(tmp_path, ("events",), specs["map_hof_event_props"].sql)) == want
+
+
 def test_chain_null_key_components_excluded_both_engines(spark, tmp_path):
     # (user 1, 'view'): first kept, +1h dropped (within 24h), +25h kept.
     # The NULL-user and NULL-type events have no chain identity.

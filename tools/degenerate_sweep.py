@@ -80,6 +80,13 @@ NASTY = {
         # while DuckDB's json_keys just counts — map_hof_event_props now
         # uses an injective normalization and must stay total here
         (900005, None, 9001, "click", 2.0, '{"Amt": 60, "amt": 7}'),
+        # malformed-props law (r11 random-differential wave): an
+        # unparseable props string is NO properties — Spark parse_json
+        # THROWS without try_, DuckDB json_keys/json_extract_string THROW
+        # without a json_valid guard; a valid NON-OBJECT ('[1,2]') is []
+        # keys on DuckDB vs a NULL map on Spark without the json_type law
+        (900006, None, 9002, "view", 1.5, "not json {"),
+        (900007, None, 9002, "view", 2.5, "[1, 2]"),
     ],
     "documents": [
         (900001, None, None, None, None),

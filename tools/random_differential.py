@@ -274,7 +274,11 @@ def build_fixture(seed: int) -> dict[str, list[tuple]]:
                     _money(r, 0.01, 330),
                     r.choice(
                         [None, "{}", '{"k": %d}' % r.randint(0, 99),
-                         '{"k": %d, "j": %d}' % (r.randint(0, 99), r.randint(0, 9))]
+                         '{"k": %d, "j": %d}' % (r.randint(0, 99), r.randint(0, 9)),
+                         '{"k": %d}' % r.randint(0, 99),
+                         # malformed-props law probes (r11): unparseable and
+                         # valid-but-non-object strings are "no properties"
+                         "not json {", "[1, 2]"]
                     ),
                 )
             )
