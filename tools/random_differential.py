@@ -4,6 +4,13 @@ of tools/degenerate_sweep.py.
 Usage: python tools/random_differential.py [--skip-rows-only] [seed ...]
        (default seeds: 1 2 3)
 
+Seed bands select probe-diversity REGIMES (seed // 100): 0-99 balanced,
+100-199 high-NULL (3x NULL rates — three-valued-logic stress), 200-299
+ties-everywhere (quantized pools dominate — rank/cut-line/frame
+stress), 300-399 hot-key skew (skew-join and bucket-route stress). The
+band is derived from the seed, so a finding's replay command is still
+just the seed number.
+
 The degenerate sweep probes ONE crafted nasty fixture: every degenerate
 value class appears exactly once, placed by hand. What it cannot reach
 is the combinatorial middle ground — duplicate keys colliding with NULL
@@ -93,26 +100,43 @@ WORDS = (
 EMB_DIM = 64
 
 
+# Probe-diversity modes (seed // 100): band 0 is the balanced default;
+# band 1 (seeds 100-199) triples NULL/degenerate rates (the high-NULL
+# regime where three-valued logic bugs live); band 2 (200-299) makes tie
+# pools dominate (rank/cut-line/frame stress); band 3 (300-399)
+# concentrates FKs on the hot key (skew-join and bucket-route stress).
+# The band is derived from the seed so the replay command stays just the
+# seed number.
+_MODE = {"null_mult": 1.0, "tie_cut": 0.55, "skew_cut": 0.6}
+
+
+def _set_mode(seed: int) -> None:
+    band = (seed // 100) % 10
+    _MODE["null_mult"] = 3.0 if band == 1 else 1.0
+    _MODE["tie_cut"] = 0.25 if band == 2 else 0.55
+    _MODE["skew_cut"] = 0.3 if band == 3 else 0.6
+
+
 def _cat(r: random.Random, pool, p_null=0.06, p_degen=0.05):
     """Draw from the real pool, with NULL / '' / whitespace injections."""
     x = r.random()
-    if x < p_null:
+    if x < p_null * _MODE["null_mult"]:
         return None
-    if x < p_null + p_degen:
+    if x < p_null * _MODE["null_mult"] + p_degen:
         return r.choice(["", "  "])
     return r.choice(pool)
 
 
 def _money(r: random.Random, lo, hi, ties=None, p_null=0.05, p_zero=0.04, p_neg=0.03):
     x = r.random()
-    if x < p_null:
+    if x < p_null * _MODE["null_mult"]:
         return None
-    if x < p_null + p_zero:
+    if x < p_null * _MODE["null_mult"] + p_zero:
         return 0.0
-    if ties is not None and x > 0.55:  # quantized pool ⇒ rank/cut-line ties
+    if ties is not None and x > _MODE["tie_cut"]:  # quantized pool ⇒ ties
         return r.choice(ties)
     v = round(r.uniform(lo, hi), 2)
-    return -v if x < p_null + p_zero + p_neg else v
+    return -v if x < p_null * _MODE["null_mult"] + p_zero + p_neg else v
 
 
 def _fk(r: random.Random, pool, p_null=0.07, p_dangle=0.06, skew=None):
@@ -123,11 +147,11 @@ def _fk(r: random.Random, pool, p_null=0.07, p_dangle=0.06, skew=None):
     near-uniform one.
     """
     x = r.random()
-    if x < p_null:
+    if x < p_null * _MODE["null_mult"]:
         return None
-    if x < p_null + p_dangle:
+    if x < p_null * _MODE["null_mult"] + p_dangle:
         return 999_000 + r.randint(0, 3)
-    if skew is not None and x > 0.6:
+    if skew is not None and x > _MODE["skew_cut"]:
         return skew
     return r.choice(pool)
 
@@ -145,6 +169,7 @@ def build_fixture(seed: int) -> dict[str, list[tuple]]:
     Everything else — FKs, measures, texts, timestamps — carries the
     degenerate injections whose laws the sweep already proved.
     """
+    _set_mode(seed)
     r = random.Random(seed)
     t: dict[str, list[tuple]] = {}
 
@@ -199,7 +224,7 @@ def build_fixture(seed: int) -> dict[str, list[tuple]]:
 
     def odate():
         x = r.random()
-        if x < 0.06:
+        if x < 0.06 * _MODE["null_mult"]:
             return None
         return base_date + dt.timedelta(days=r.randint(0, 2400))
 
