@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mapreduce_docker_spark.functions.measures import finite, sql_finite
 from mapreduce_docker_spark.functions.rounding import dround
 from mapreduce_docker_spark.functions.rounding import sql as rsql
 from mapreduce_docker_spark.registry import register
@@ -301,28 +302,40 @@ def join_theta_acctbal_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_stats_by_segment",
-    """
+    f"""
+    -- finite-measure law (r12, functions/measures.py): the stddev makes
+    -- this a variance-bearing query, so ALL its aggregates run over the
+    -- non-finite->NULL normalized measure — DuckDB's variance accumulator
+    -- throws OutOfRangeException on a NaN/Inf group where Spark flows NaN,
+    -- and a split contract (NaN-propagating sum next to NaN-skipping
+    -- stddev) would be internally inconsistent within one result row.
+    WITH c AS (
+      SELECT c_mktsegment,
+             {sql_finite('c_acctbal')} AS bal
+      FROM customer
+    )
     SELECT c_mktsegment,
            count(*)                       AS n_customers,
-           floor((sum(c_acctbal)) * 100.0 + 0.5) / 100.0       AS sum_bal,
-           floor((avg(c_acctbal)) * 10000.0 + 0.5) / 10000.0       AS avg_bal,
-           floor((min(c_acctbal)) * 100.0 + 0.5) / 100.0       AS min_bal,
-           floor((max(c_acctbal)) * 100.0 + 0.5) / 100.0       AS max_bal,
-           floor((stddev_samp(c_acctbal)) * 10000.0 + 0.5) / 10000.0 AS std_bal
-    FROM customer
+           floor((sum(bal)) * 100.0 + 0.5) / 100.0       AS sum_bal,
+           floor((avg(bal)) * 10000.0 + 0.5) / 10000.0       AS avg_bal,
+           floor((min(bal)) * 100.0 + 0.5) / 100.0       AS min_bal,
+           floor((max(bal)) * 100.0 + 0.5) / 100.0       AS max_bal,
+           floor((stddev_samp(bal)) * 10000.0 + 0.5) / 10000.0 AS std_bal
+    FROM c
     GROUP BY c_mktsegment
     """,
     section="A7",
 )
 def agg_stats_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cust,) = _t(spark, sf_dir, "customer")
+    bal = finite("c_acctbal")
     return cust.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        dround(F.sum("c_acctbal"), 2).alias("sum_bal"),
-        dround(F.avg("c_acctbal"), 4).alias("avg_bal"),
-        dround(F.min("c_acctbal"), 2).alias("min_bal"),
-        dround(F.max("c_acctbal"), 2).alias("max_bal"),
-        dround(F.stddev_samp("c_acctbal"), 4).alias("std_bal"),
+        dround(F.sum(bal), 2).alias("sum_bal"),
+        dround(F.avg(bal), 4).alias("avg_bal"),
+        dround(F.min(bal), 2).alias("min_bal"),
+        dround(F.max(bal), 2).alias("max_bal"),
+        dround(F.stddev_samp(bal), 4).alias("std_bal"),
     )
 
 
@@ -1786,19 +1799,35 @@ def agg_unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_stats_quantity_price",
-    """
+    f"""
+    -- finite-measure law (r12, functions/measures.py): every aggregate
+    -- here is second-moment, so both measures are non-finite->NULL
+    -- normalized at ingress (DuckDB corr/covar/stddev/var THROW on a
+    -- NaN or Inf group where Spark flows NaN).
+    WITH li AS (
+      SELECT l_returnflag,
+             {sql_finite('l_quantity')}      AS l_quantity,
+             {sql_finite('l_extendedprice')} AS l_extendedprice
+      FROM lineitem
+    )
     SELECT l_returnflag,
            floor(corr(l_quantity, l_extendedprice)      * 1000000.0 + 0.5) / 1000000.0 AS qp_corr,
            floor(covar_pop(l_quantity, l_extendedprice) * 10000.0 + 0.5) / 10000.0     AS qp_covar,
            floor(stddev_pop(l_quantity)                 * 1000000.0 + 0.5) / 1000000.0 AS q_stddev,
            floor(var_pop(l_extendedprice)               * 100.0 + 0.5) / 100.0         AS p_var
-    FROM lineitem GROUP BY l_returnflag
+    FROM li GROUP BY l_returnflag
     """,
     section="A7,F:math",
     note="statistical aggregates: corr / covar_pop / stddev_pop / var_pop (identical closed forms on both engines, rounded)",
 )
 def agg_stats_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     (li,) = _t(spark, sf_dir, "lineitem")
+    li = li.withColumns(
+        {
+            "l_quantity": finite("l_quantity"),
+            "l_extendedprice": finite("l_extendedprice"),
+        }
+    )
     # Pearson corr from its co-moment parts, CASE-guarded on zero variance:
     # Spark 4's corr aggregate THROWS DIVIDE_BY_ZERO under ANSI mode when a
     # group's variance is zero (r8 constant-input probe), while the SQL
