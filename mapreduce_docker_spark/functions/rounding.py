@@ -43,6 +43,27 @@ def dround(col: Column | str, n: int) -> Column:
     return int_part / scale
 
 
+def spark_sql(expr: str, n: int) -> str:
+    """Spark-SQL-TEXT spelling of :func:`dround` for raw ``spark.sql()``
+    interface queries.
+
+    Spark SQL's ``floor(double)`` returns LONG — so the plain formula
+    clamps +Inf to Long.MAX (9.22e18) and maps NaN to 0 where DuckDB's
+    double->double ``floor`` propagates both (measured by the r12 band-4
+    nonfinite differential regime on sql_interface_revenue_by_nation).
+    This emits the same two-branch form dround builds with the DataFrame
+    API; the D suffixes keep the literals DOUBLE (bare 100.0 parses as
+    DECIMAL in Spark SQL). Catalyst de-duplicates the repeated aggregate
+    subexpression into one buffer, so the spelling costs nothing.
+    """
+    scale = float(10**n)
+    y = f"(({expr}) * {scale}D + 0.5D)"
+    return (
+        f"(CASE WHEN abs({y}) < {_INTEGRAL_THRESHOLD}D "
+        f"THEN CAST(floor({y}) AS DOUBLE) ELSE {y} END / {scale}D)"
+    )
+
+
 def sql(expr: str, n: int) -> str:
     """DuckDB spelling of :func:`dround` for oracle queries.
 

@@ -29,6 +29,7 @@ from pyspark.sql.window import Window
 
 from mapreduce_docker_spark.functions.measures import finite, sql_finite
 from mapreduce_docker_spark.functions.rounding import dround
+from mapreduce_docker_spark.functions.rounding import spark_sql as rspark_sql
 from mapreduce_docker_spark.functions.rounding import sql as rsql
 from mapreduce_docker_spark.registry import register
 from mapreduce_docker_spark.sources.catalog import load_table
@@ -756,21 +757,40 @@ def scalar_math_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(*)                                                  AS n_events,
            -- malformed-props law (r11): a props string that does not parse
-           -- is NO properties — Spark's get_json_object returns NULL there,
-           -- DuckDB's json_extract_string THROWS without the guard
-           floor((avg(CAST(CASE WHEN json_valid(props)
-                           THEN json_extract_string(props, '$.k') END AS INTEGER))) * 10000.0 + 0.5) / 10000.0 AS avg_k,
-           max(CAST(CASE WHEN json_valid(props)
-               THEN json_extract_string(props, '$.k') END AS INTEGER)) AS max_k
+           -- is NO properties. r12 edge-grid extensions (measured, both
+           -- engines, SCALING.md "JSON typed-extraction laws"):
+           --   * duplicate top-level keys are NO properties (Spark's
+           --     VARIANT parser rejects them; the engine's four JSON paths
+           --     disagree irreparably otherwise);
+           --   * typed extraction is STRICT integer-text — Spark's
+           --     try_cast(string->int) returns NULL on '2.9'/'true'/
+           --     '{...}' where DuckDB's bare TRY_CAST would ROUND '2.9'
+           --     to 3, so the oracle needs the regexp guard + TRY_CAST
+           --     (TRY_CAST alone also matches the int32-overflow NULL).
+           floor((avg(CASE WHEN json_valid(props)
+                           AND len(json_keys(props)) = len(list_distinct(json_keys(props)))
+                           AND regexp_full_match(trim(json_extract_string(props, '$.k')), '[+-]?[0-9]+')
+                           THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) END)) * 10000.0 + 0.5) / 10000.0 AS avg_k,
+           max(CASE WHEN json_valid(props)
+                    AND len(json_keys(props)) = len(list_distinct(json_keys(props)))
+                    AND regexp_full_match(trim(json_extract_string(props, '$.k')), '[+-]?[0-9]+')
+                    THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) END) AS max_k
     FROM events
     GROUP BY event_type
     """,
     section="F:json",
-    note="JSON-in-string extraction (events.props) -> typed aggregation; malformed props extract NULL on both engines (r11 law)",
+    note="JSON-in-string extraction (events.props) -> typed aggregation; malformed/duplicate-key props extract NULL on both engines (r11+r12 laws)",
 )
 def json_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    # json_object_keys is NULL on malformed/non-object input, so the
+    # duplicate-key guard folds the malformed law in for free (NULL
+    # condition -> NULL extraction). try_cast (NOT cast) carries the
+    # strict integer-text law: ANSI cast THREW on a nested-object value
+    # ('{"a":1}' is not an int — r12 edge-grid find).
+    jok = F.json_object_keys("props")
+    no_dup = F.size(jok) == F.size(F.array_distinct(jok))
+    k = F.when(no_dup, F.get_json_object("props", "$.k").try_cast("int"))
     return events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         dround(F.avg(k), 4).alias("avg_k"),
@@ -782,9 +802,15 @@ def json_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_variant_events",
     """
     SELECT event_id,
-           -- malformed-props law (r11): see json_event_props
-           CAST(CASE WHEN json_valid(props)
-                THEN json_extract_string(props, '$.k') END AS INTEGER) AS k_typed,
+           -- malformed-props + duplicate-key + strict-integer-text laws
+           -- (r11+r12): see json_event_props. The duplicate-key guard is
+           -- load-bearing HERE because Spark's variant parser itself
+           -- rejects duplicate keys (try_parse_json -> NULL variant,
+           -- measured) while DuckDB's json_extract_string is first-wins.
+           CASE WHEN json_valid(props)
+                AND len(json_keys(props)) = len(list_distinct(json_keys(props)))
+                AND regexp_full_match(trim(json_extract_string(props, '$.k')), '[+-]?[0-9]+')
+                THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) END AS k_typed,
            CAST(NULL AS INTEGER)                              AS k_missing
     FROM events
     """,
@@ -800,11 +826,17 @@ def json_variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # malformed-props law (r11 random-differential probe): parse_json THROWS
     # MALFORMED_RECORD_IN_PARSING on a non-JSON props string (measured);
     # try_parse_json yields the NULL variant — "no properties", matching
-    # get_json_object's NULL and the oracle's json_valid guard
+    # get_json_object's NULL and the oracle's json_valid guard. It ALSO
+    # rejects duplicate-key objects, which is where the r12 duplicate-key
+    # law comes from. Typed extraction goes THROUGH the string form + the
+    # strict try_cast (r12): a direct variant_get(..., 'int') THREW
+    # INVALID_VARIANT_CAST on an object value, and try_variant_get int
+    # TRUNCATES 2.9 -> 2 where the law (and DuckDB's guarded oracle) says
+    # a non-integer-text value is NULL.
     v = events.select("event_id", F.try_parse_json("props").alias("v"))
     return v.select(
         "event_id",
-        F.variant_get("v", "$.k", "int").alias("k_typed"),
+        F.try_variant_get("v", "$.k", "string").try_cast("int").alias("k_typed"),
         F.try_variant_get("v", "$.missing", "int").alias("k_missing"),
     )
 
@@ -1292,13 +1324,16 @@ def sql_interface_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFra
     from mapreduce_docker_spark.sources.catalog import register_views
 
     register_views(spark, sf_dir, tables=("lineitem", "orders", "customer", "nation"))
-    # note the D suffixes: Spark SQL parses bare 100.0 as DECIMAL (the
-    # DataFrame API's lit(100.0) is DOUBLE) and decimal arithmetic would
-    # change both the result type and the rounding value
+    # rounding.spark_sql emits the dround two-branch form with D-suffixed
+    # DOUBLE literals: Spark SQL's bare floor(double) returns LONG, which
+    # clamped +Inf to Long.MAX and NaN to 0 where DuckDB's double floor
+    # propagates both (r12 band-4 nonfinite differential find), and bare
+    # 100.0 would parse as DECIMAL and change the rounding value.
+    revenue = rspark_sql("sum(l.l_extendedprice * (1.0D - l.l_discount))", 2)
     return spark.sql(
-        """
+        f"""
         SELECT n.n_name,
-               floor(sum(l.l_extendedprice * (1.0D - l.l_discount)) * 100.0D + 0.5D) / 100.0D AS revenue
+               {revenue} AS revenue
         FROM lineitem l
         JOIN orders o   ON o.o_orderkey = l.l_orderkey
         JOIN customer c ON c.c_custkey = o.o_custkey
@@ -1529,23 +1564,45 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH k AS (
       -- malformed-props law (r11): json_keys THROWS on a non-JSON string
       -- where Spark's from_json map is NULL (whose explode emits no rows);
-      -- the guard makes "unparseable -> no entries" explicit on both
+      -- the guard makes "unparseable -> no entries" explicit on both.
+      -- r12 edge grid: duplicate top-level keys are NO properties (the
+      -- engines' key multiplicity and value election disagree — see
+      -- json_event_props), and VALUES follow the strict integer-text law
+      -- per entry: a key row is emitted for EVERY retained key, its value
+      -- NULL unless the text is an integer (quoted path so keys with
+      -- dots survive; a bare CAST of a nested-object value THREW here).
       SELECT event_id, unnest(json_keys(props)) AS map_key, props FROM events
       WHERE props IS NOT NULL AND json_valid(props)
+        AND len(json_keys(props)) = len(list_distinct(json_keys(props)))
     )
     SELECT event_id, map_key,
-           CAST(json_extract(props, '$.' || map_key) AS INTEGER) AS map_value
+           CASE WHEN regexp_full_match(trim(json_extract_string(props, '$."' || map_key || '"')), '[+-]?[0-9]+')
+                THEN TRY_CAST(json_extract_string(props, '$."' || map_key || '"') AS INTEGER) END AS map_value
     FROM k
     """,
     section="F:json,F:map",
-    note="JSON -> MapType -> exploded entries: from_json(map<string,int>) + explode == json_keys + json_extract",
+    note="JSON -> MapType -> exploded entries: from_json(map<string,string>) + explode + strict int typing == json_keys + guarded json_extract_string",
 )
 def json_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _t(spark, sf_dir, "events")
-    m = F.from_json(F.col("props"), "map<string,int>")
-    return events.select(
-        "event_id", F.explode(m).alias("map_key", "map_value")
-    ).select("event_id", "map_key", F.col("map_value").cast("int"))
+    # map<string,STRING>, not map<string,int>: the int-typed parse NULLs
+    # the WHOLE map the moment any single value is not an integer literal
+    # (measured: '{"k": "7"}' lost its key row), while the contract emits
+    # every key of a retained object and types each value independently.
+    # The explicit duplicate-key filter carries the r12 law (from_json
+    # keeps BOTH duplicate entries, whose explode would emit two rows).
+    jok = F.json_object_keys("props")
+    no_dup = F.size(jok) == F.size(F.array_distinct(jok))
+    m = F.from_json(F.col("props"), "map<string,string>")
+    return (
+        events.filter(no_dup)
+        .select("event_id", F.explode(m).alias("map_key", "map_value_txt"))
+        .select(
+            "event_id",
+            "map_key",
+            F.col("map_value_txt").try_cast("int").alias("map_value"),
+        )
+    )
 
 
 @register(
@@ -1870,23 +1927,38 @@ def agg_stats_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- is NO properties (Spark's from_json map is NULL there; DuckDB's
     -- json_keys would THROW on malformed and return [] on '[1,2]'/'42') —
     -- the usable CTE makes the law one expression shared by all three.
+    -- r12 edge grid: the usable guard also requires (a) NO duplicate
+    -- top-level keys (Spark's from_json map keeps BOTH entries, so the
+    -- injective K:k normalization collided with ITSELF and threw
+    -- DUPLICATE_MAP_KEY — measured), and (b) every value an int32-ranged
+    -- integer or JSON null, because from_json(map<string,int>) NULLs the
+    -- WHOLE map when any one value fails the int parse (measured on
+    -- '{"k":"7"}', 2.9, true, nested, and the int32-overflow literal).
     WITH e AS (
       SELECT event_id,
              CASE WHEN props IS NOT NULL AND json_valid(props)
                        AND json_type(props) = 'OBJECT'
+                       AND len(json_keys(props)) = len(list_distinct(json_keys(props)))
+                       AND len(list_filter(json_keys(props),
+                             k -> NOT (json_type(props, '$."' || k || '"') = 'NULL'
+                                       OR (json_type(props, '$."' || k || '"') IN ('UBIGINT', 'BIGINT')
+                                           AND TRY_CAST(json_extract_string(props, '$."' || k || '"') AS INTEGER) IS NOT NULL)))) = 0
                   THEN props END AS props
       FROM events
     )
     SELECT event_id,
            CAST(CASE WHEN props IS NULL THEN NULL
                 ELSE len(json_keys(props)) END AS INTEGER) AS n_keys,
+           -- quoted paths + TRY_CAST(json_extract_string): the usable
+           -- guard already proved every value int-or-null, and the quoted
+           -- path keeps keys containing '.' addressable (r12)
            CASE WHEN props IS NULL THEN NULL ELSE
              CAST(list_reduce(list_prepend(0, list_transform(json_keys(props),
-                    k -> CAST(json_extract(props, '$.' || k) AS INTEGER) * 2)),
+                    k -> TRY_CAST(json_extract_string(props, '$."' || k || '"') AS INTEGER) * 2)),
                   (a, b) -> a + b) AS BIGINT) END          AS doubled_sum,
            CASE WHEN props IS NULL THEN NULL ELSE
              CAST(len(list_filter(json_keys(props),
-                    k -> CAST(json_extract(props, '$.' || k) AS INTEGER) * 2 > 100))
+                    k -> TRY_CAST(json_extract_string(props, '$."' || k || '"') AS INTEGER) * 2 > 100))
                   AS BIGINT) END                           AS n_large
     FROM e
     """,
@@ -1895,7 +1967,14 @@ def agg_stats_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def map_hof_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _t(spark, sf_dir, "events")
-    m = F.from_json(F.col("props"), "map<string,int>")
+    # duplicate-key law (r12): from_json keeps BOTH entries of an exact-
+    # duplicate key, so the injective upper(k):k normalization below
+    # collided with itself and threw DUPLICATE_MAP_KEY. A dup-key object
+    # is NO properties; json_object_keys is NULL on malformed/non-object
+    # input, so the when() folds the r11 malformed law in too.
+    jok = F.json_object_keys("props")
+    no_dup = F.size(jok) == F.size(F.array_distinct(jok))
+    m = F.when(no_dup, F.from_json(F.col("props"), "map<string,int>"))
     # transform_keys must stay INJECTIVE: a bare upper(k) collides for keys
     # differing only by case, and Spark's default EXCEPTION dedup policy
     # throws DUPLICATE_MAP_KEY where DuckDB's json_keys count just counts

@@ -35,11 +35,13 @@ small so cross-engine sum-order error stays far below the canonical
 round(7); if a strict compare still mismatches, a second-chance
 tolerant compare (sorted, cellwise isclose rel=abs=1e-6) distinguishes
 a float-association artifact (reported as "tol" — investigate, not
-fail) from a real divergence (exit 1). NaN/Inf never enter measure
-columns by construction — the variance-family NaN frontier is a
-DOCUMENTED oracle-contract exclusion (SCALING.md "NaN frontier"), not a
-bug to rediscover every run; embedding COMPONENTS do get NaN/Inf rows
-because the finite-norm laws contract them out on both engines.
+fail) from a real divergence (exit 1). NaN/Inf enter measure columns
+ONLY in the band-4 nonfinite regime (seeds 400-499), opened in r12 when
+the finite-measure law brought the variance family into the oracle
+contract (SCALING.md "NaN frontier"); other bands keep measures finite
+so their float-association analysis stays simple. Embedding COMPONENTS
+get NaN/Inf rows in every band because the finite-norm laws contract
+them out on both engines.
 
 Exit code 1 on any crash or non-tolerant mismatch, 0 when clean.
 
@@ -109,10 +111,12 @@ EMB_DIM = 64
 # band 1 (seeds 100-199) triples NULL/degenerate rates (the high-NULL
 # regime where three-valued logic bugs live); band 2 (200-299) makes tie
 # pools dominate (rank/cut-line/frame stress); band 3 (300-399)
-# concentrates FKs on the hot key (skew-join and bucket-route stress).
-# The band is derived from the seed so the replay command stays just the
-# seed number.
-_MODE = {"null_mult": 1.0, "tie_cut": 0.55, "skew_cut": 0.6}
+# concentrates FKs on the hot key (skew-join and bucket-route stress);
+# band 4 (400-499) injects NaN/+Inf/-Inf into MEASURE columns — opened
+# in r12 by the finite-measure law that brought the variance family into
+# the oracle contract (SCALING.md "NaN frontier"). The band is derived
+# from the seed so the replay command stays just the seed number.
+_MODE = {"null_mult": 1.0, "tie_cut": 0.55, "skew_cut": 0.6, "nonfinite": 0.0}
 
 
 def _set_mode(seed: int) -> None:
@@ -120,6 +124,7 @@ def _set_mode(seed: int) -> None:
     _MODE["null_mult"] = 3.0 if band == 1 else 1.0
     _MODE["tie_cut"] = 0.25 if band == 2 else 0.55
     _MODE["skew_cut"] = 0.3 if band == 3 else 0.6
+    _MODE["nonfinite"] = 0.04 if band == 4 else 0.0
 
 
 def _cat(r: random.Random, pool, p_null=0.06, p_degen=0.05):
@@ -136,12 +141,15 @@ def _money(r: random.Random, lo, hi, ties=None, p_null=0.05, p_zero=0.04, p_neg=
     x = r.random()
     if x < p_null * _MODE["null_mult"]:
         return None
-    if x < p_null * _MODE["null_mult"] + p_zero:
+    if x < p_null * _MODE["null_mult"] + _MODE["nonfinite"]:
+        return r.choice([float("nan"), float("inf"), float("-inf")])
+    if x < p_null * _MODE["null_mult"] + _MODE["nonfinite"] + p_zero:
         return 0.0
     if ties is not None and x > _MODE["tie_cut"]:  # quantized pool ⇒ ties
         return r.choice(ties)
     v = round(r.uniform(lo, hi), 2)
-    return -v if x < p_null * _MODE["null_mult"] + p_zero + p_neg else v
+    neg_cut = p_null * _MODE["null_mult"] + _MODE["nonfinite"] + p_zero + p_neg
+    return -v if x < neg_cut else v
 
 
 def _fk(r: random.Random, pool, p_null=0.07, p_dangle=0.06, skew=None):
