@@ -138,169 +138,77 @@ def _load_all() -> None:
 # clean, zero failures (CORRECTNESS_r10). Nothing in the driver record
 # is older than r5.
 #
-# Round 11 window = the r10 degenerate-sweep FIX QUEUE (judge-r10
-# next-round #1), recorded below exactly as it was written when the
-# fixes landed; grouping preserved so a failure maps to its root cause:
-#   * 5 standing canaries (wordcount, q1, dedup_minhash_pairs,
-#     window_running_spend, events_sessionize);
-#   * 37 late-r10 engine-path re-certs = the UNIQUE names of the r10
-#     fix queue. (The r10 note said "36 names" — that arithmetic was
-#     wrong the same way the r9 note's "42" was: scalar_math_lineitem
-#     belongs to TWO fix families — positive-domain ln AND the sqrt
-#     guard — but burns one slot; the unique count is 37.) Groups:
-#       - zero-shingle law (9): text_tfidf_pair_cosine,
-#         dedup_minhash_signatures, dedup_minhash_survivors,
-#         dedup_minhash_clusters, dedup_jaccard_sample,
-#         text_curation_pipeline, text_decontaminate_ngram,
-#         text_training_shards, streaming_incremental_minhash_dedup;
-#       - '' vs NULL string folds (4): text_fingerprint,
-#         dedup_exact_groups, dedup_exact_survivors, multimodal_resize;
-#       - NULL-ordering/identity/domain contracts (7):
-#         window_ntile_balance_quartiles, scalar_string_part,
-#         scalar_math_lineitem (ln + sqrt), udf_pandas_udaf_geomean,
-#         events_sliding_10m_5m, events_multires_rollup,
-#         events_session_5m;
-#       - empty-array/map folds (2): array_hof_embeddings,
-#         map_hof_event_props — whose judge-r10 ADVICE fix (count keys
-#         from the PRE-uppercase map so case-colliding props keys
-#         cannot DUPLICATE_MAP_KEY on Spark while DuckDB returns a
-#         count) lands in this same window slot;
-#       - extended-probe laws (15 remaining slots): sim_cosine_topk,
-#         sim_cosine_topk_pandas (rows-only twin), sim_ann_srp,
-#         sim_ann_srp_banded, sim_ann_ivf, sim_ann_ivf_stored,
-#         sim_label_cohesion, dedup_embedding_pairs,
-#         dedup_embedding_clusters, emb_quantize_int8,
-#         emb_vector_store_build, streaming_dedup_native_keys,
-#         window_event_gaps, events_transition_matrix,
-#         asof_purchase_prior_view;
-#   * 2 re-certs for judge-r10 ADVICE engine-path fixes landed before
-#     this freeze: streaming_dedup_expiry_keys (its oracle now
-#     interpolates stream_demo.EXPIRY_MAX_DAYS instead of hardcoding
-#     the span — byte-identical SQL today, but the constant is shared
-#     so a future change cannot silently diverge the fixture) and
-#     multimodal_bmp_decode_stats (staging filters doc_id IS NOT NULL
-#     before the bounded limit(64) collect; bmp_codec now rejects pixel
-#     offsets that point inside the 54-byte header or past EOF);
-#   * 3 re-certs for engine-path fixes found IN r11 by the round's own
-#     verification (fixes take freshness slots — judge-r10 #1):
-#       - sim_brp_lsh_ml: the r11 rows-only sweep lane (its inaugural
-#         run) crash-found the ML BRP lane missing the sim-family
-#         degenerate laws — a NULL embedding NPEs array_to_vector in
-#         the JVM; now non-NULL + dim + finite-component guarded like
-#         the rest of the family (similarity_queries.py);
-#       - streaming_sessionize: same sweep run — a NULL event time
-#         reached the pandas state fn as NaN and broke int(us); now
-#         carries the event-sequence law filter its batch twin has had
-#         since r10, and a NULL user_id group key no longer crashes the
-#         close-emit path (stream_demo.py);
-#       - merge_upsert_orders_incremental: r11 crafted-truth find
-#         (tests/test_crafted_truth35.py) — a CDC insert whose shifted
-#         key ALREADY EXISTS in the base is an upsert under the merge
-#         oracle, but the incremental view never retracted the
-#         displaced row, double-counting that key; fixture-invisible
-#         while base keys stay below the 100M shift, real at 100 TB
-#         key ranges (layout_queries.py retract_ins);
-#   * 3 r6-era freshness names: the first 2 of the 31-name r6 cohort in
-#     stale_report's sorted order (join_anti_orderless_customers,
-#     join_aqe_skew_enriched_events) + q17_small_quantity_revenue
-#     pulled ahead of its alphabetical turn because its crafted truth
-#     (correlated avg-quantity threshold walk) was pre-written this
-#     round — the hand-truth-first pattern. The remaining 28 r6 names
-#     roll to r12 (judge-r10 #1: push the freshness tail rather than
-#     split a fix family across windows).
-# 5 + 37 + 2 + 3 + 3 = 50.
-# r12 FIX QUEUE (engine-path changes this round OUTSIDE this window —
-# the standing precedent; re-certify in the r12 window before
-# freshness slots):
-#   * q14_promo_revenue_share — zero-total-revenue guard (r11 probe,
-#     tests/test_crafted_truth36.py): an all-zero-price ship-month made
-#     Spark throw ANSI DIVIDE_BY_ZERO where DuckDB's div-by-zero NULL
-#     just flowed; the share of a zero total is now NULL on BOTH
-#     engines (lazy CASE guard engine-side, CASE WHEN sum=0 oracle-
-#     side). Fixture-invisible on the driver parquet (no zero-price
-#     months); q14 is an r6-cohort name and rolls into r12 as a fix
-#     re-cert rather than plain freshness.
-#   * q8_market_share — same class, found by the r11 division audit the
-#     q14 fix triggered (every data-dependent denominator in the repo
-#     was then audited: all others already carry lazy-CASE guards): a
-#     zero-volume year now yields a NULL share on both engines
-#     (tests/test_crafted_truth36.py). q8 is an r7-cohort name; its fix
-#     re-cert takes precedence over r12 freshness.
-#   * q16_parts_supplier — the NOT-IN/anti-join NULL asymmetry (r11
-#     probe, tests/test_crafted_truth37.py): SQL NOT IN silently drops
-#     a NULL lhs while Spark's left-anti KEEPS it, so a supplierless
-#     lineitem on a wanted part created a phantom zero-count group
-#     engine-side only (measured divergence). NULL keys now excluded
-#     EXPLICITLY on both engines, incl. inside the bad-list subquery
-#     (one NULL there would empty the whole NOT IN result).
-#   * q15_top_supplier — NULL-key law on the revenue view (r11 probe,
-#     same file): a supplierless revenue group could STEAL the max and
-#     empty the result after the supplier join (both engines agreed —
-#     alignment was fine — but the semantics were a trap); the view now
-#     excludes NULL supplier_no on both sides.
-#   * dq_constraint_checks — the gate gained PK-completeness rows
-#     (not_null_o_orderkey, not_null_doc_id) as the operational edge of
-#     the r11 primary-key contract (SCALING.md): a NULL-doc_id probe
-#     measured ln(0) in the langid prior, span-tile winner divergence,
-#     and the NOT-IN asymmetry across every survivor oracle — all
-#     excluded by contract at ingest, counted by this gate.
-#   * THE RANDOM-DIFFERENTIAL WAVE (late r11, tools/random_differential.py
-#     seed 1: 14 measured divergences, all fixed same-round, each pinned
-#     by hand in tests/test_crafted_truth38.py, laws in SCALING.md
-#     "Random-fixture differential laws"). Engine paths changed OUTSIDE
-#     the r11 window -> r12 re-certs, grouped by law:
-#       - window NULL-placement law (asc_nulls_last + oracle NULLS LAST):
-#         window_first_last_orders, window_distribution_ranks
-#         (window_running_spend is a standing canary — re-certified every
-#         window by construction);
+# Round 11 window (archived summary; full rationale in git history at
+# ced0911): 5 canaries + the 37-unique-name r10 degenerate-fix re-cert
+# queue (zero-shingle, ''-vs-NULL folds, NULL-ordering/identity/domain,
+# empty-array/map folds, extended-probe laws) + 2 judge-ADVICE re-certs
+# + 3 r11 in-round fixes (sim_brp_lsh_ml NULL-embedding, streaming
+# sessionize Arrow-NaN keys, merge_upsert displaced-insert retraction)
+# + 3 r6-freshness names. Result: 46/46 full-oracle green, 4 rows-only
+# clean, zero failures (CORRECTNESS_r11). The r11 NaN frontier decision
+# (rounded sum/avg/min/max of NaN measures joined the oracle contract;
+# variance family stayed out) was SUPERSEDED in r12 by the
+# finite-measure ingress law — see SCALING.md "NaN frontier".
+#
+# Round 12 window = the r12 FIX QUEUE pre-encoded at the end of r11
+# (judge-r11 next-round #1: execute ALL of it before any freshness),
+# plus the two r12 in-round engine-path fixes, plus 13 r6-freshness
+# slots. Grouping preserved so a failure maps to its root cause:
+#   * 5 standing canaries;
+#   * 30 re-certs for engine paths changed late in r11 (each law is
+#     documented in SCALING.md "Random-fixture differential laws" and
+#     pinned in tests/test_crafted_truth36-38):
+#       - division-guard family (3): q14_promo_revenue_share,
+#         q8_market_share, q2_min_cost_supplier — a zero data-dependent
+#         denominator now yields NULL via lazy CASE on both engines;
+#       - NOT-IN/NULL-key family (3): q16_parts_supplier,
+#         q15_top_supplier, dq_constraint_checks — NULL keys excluded
+#         explicitly on both sides, PK-completeness counted at the gate;
+#       - window NULL-placement law (2): window_first_last_orders,
+#         window_distribution_ranks (window_running_spend is a canary);
 #       - order-time contract: orders_cohort_ltv;
-#       - zero-quantity unit cost (lazy CASE): q2_min_cost_supplier;
-#       - session boundary law (oracle-side > for Spark's inclusive
-#         merge, measured micro-test): events_session_5m;
+#       - session boundary law: events_session_5m;
 #       - pandas dropna law: psapi_priority_order_stats;
-#       - pairwise-complete corr: agg_stats_quantity_price;
-#       - dimension law at every cosine-space ingress (_unit_vectors /
-#         _SQL_UNIT / _SQL_SRP_COMMON / inline SRP CTEs):
+#       - pairwise-complete corr (r11) AND the r12 finite-measure
+#         ingress (variance family joined the oracle contract,
+#         tests/test_crafted_truth35): agg_stats_quantity_price;
+#       - cosine dimension law at every space ingress (9):
 #         dedup_embedding_pairs, dedup_embedding_clusters,
 #         sim_cosine_topk, sim_label_cohesion, sim_ann_srp,
 #         sim_ann_srp_banded, sim_ann_ivf, sim_ann_ivf_stored,
-#         emb_vector_store_build (+ rows-only sim_cosine_topk_pandas,
-#         re-pinned in pytest);
+#         emb_vector_store_build (rows-only sim_cosine_topk_pandas
+#         stays pytest-pinned to its oracle-proven twin);
 #       - NULL-key chain law: dedup_chain_within_delay;
-#       - unlabeled-class law (seed 3: a NULL lang trained into the
-#         model and WON a real doc's argmax engine-side while the
-#         oracle's equality join dropped the class): text_langid_nb;
-#       - Arrow NaN group key (seed 3 rows-only lane: a NULL bigint
-#         key crosses the Arrow boundary as float NaN, so the r11
-#         `is None` guard still crashed int(NaN) — now pd.isna):
-#         streaming_sessionize (rows-only; pinned in
-#         tests/test_streaming.py null-key case);
-#       - malformed-props law (the probe the wave added to BOTH the
-#         nasty fixture and the generator): an unparseable or
-#         valid-but-non-object props string is NO properties —
-#         engine parse_json THROWS without try_ (measured), DuckDB
-#         json_keys/json_extract_string THROW without json_valid,
-#         and '[1,2]' diverges [] keys vs NULL map without the
-#         json_type = OBJECT guard: json_event_props,
+#       - unlabeled-class law: text_langid_nb (boundary hand truth
+#         pre-written, tests/test_crafted_truth43);
+#       - malformed-props family (4) — now ALSO carrying the r12 JSON
+#         typed-extraction laws (duplicate-key + strict integer-text +
+#         decoupled key listing, measured edge grid in
+#         tests/test_crafted_truth43, SCALING.md): json_event_props,
 #         json_variant_events, json_map_entries, map_hof_event_props;
-#       - order/event-time contract on time-derived GROUP BY keys
-#         (seed 10 + the flaky seed-3/4 flags, root cause DOUBLE:
-#         Spark NULLS-FIRST vs DuckDB NULLS-LAST in the lag chain AND
-#         a measured DuckDB 1.0 hazard where a parquet-sourced NULL
-#         date_trunc group key leaks into the window sort as a
-#         corrupted non-NULL sentinel that ignores NULLS LAST —
-#         SCALING.md random-differential laws): NULL time rows are
-#         excluded at ingress on both engines in
+#       - time-derived GROUP BY keys / NULL-time ingress (3):
 #         orders_mom_revenue_growth, events_retention_cohorts,
-#         streaming_static_enrichment.
-# NaN-MEASURE FRONTIER (judge-r10 next-round #7): DECIDED this round —
-# see SCALING.md "NaN frontier". Measured, then split: rounded
-# sum/avg/min/max of NaN measures AGREE across engines (the dround
-# two-branch form never feeds floor a NaN, and DuckDB floor(NaN)=NaN)
-# so that class JOINS the oracle contract, pinned both-engines in
-# tests/test_crafted_truth35.py; the VARIANCE family stays out (DuckDB
-# stddev_samp THROWS OutOfRangeException on a NaN group where Spark
-# returns NaN) with both behaviors regression-pinned in the same file.
+#         streaming_static_enrichment;
+#   * 2 re-certs for r12 in-round engine-path fixes (fixes take
+#     freshness slots — the standing precedent):
+#       - agg_stats_by_segment: finite-measure ingress (non-finite ->
+#         NULL on both engines; DuckDB's variance accumulator throws on
+#         NaN AND Inf where Spark flows NaN — measured,
+#         tests/test_crafted_truth35);
+#       - sql_interface_revenue_by_nation: the Spark-SQL-text floor law
+#         (bare floor(double) returns LONG, clamping Inf/NaN — found by
+#         the band-4 nonfinite differential regime on seed 401, fixed
+#         via rounding.spark_sql, pinned in tests/test_crafted_truth43);
+#   * 13 r6-era freshness names: the first 12 of the remaining 21-name
+#     r6 cohort in stale_report sorted order + udf_pandas_saturation
+#     pulled ahead of its alphabetical turn because its crafted truth
+#     was pre-written in r11 (the hand-truth-first pattern, q17
+#     precedent). The remaining 8 r6 names (setop_exceptall_priorities,
+#     setop_intersect_statuses, setop_union_by_name,
+#     setop_union_segments, window_range_price_band,
+#     window_top3_orders_per_customer, wordcount_strict_top20,
+#     wordcount_top20) roll to r13.
+# 5 + 30 + 2 + 13 = 50.
 _PRIORITY_WINDOW = (
     # --- standing canaries ---
     "wordcount",
@@ -308,59 +216,59 @@ _PRIORITY_WINDOW = (
     "dedup_minhash_pairs",
     "window_running_spend",
     "events_sessionize",
-    # --- r10 fix queue: zero-shingle law ---
-    "text_tfidf_pair_cosine",
-    "dedup_minhash_signatures",
-    "dedup_minhash_survivors",
-    "dedup_minhash_clusters",
-    "dedup_jaccard_sample",
-    "text_curation_pipeline",
-    "text_decontaminate_ngram",
-    "text_training_shards",
-    "streaming_incremental_minhash_dedup",
-    # --- r10 fix queue: '' vs NULL string folds ---
-    "text_fingerprint",
-    "dedup_exact_groups",
-    "dedup_exact_survivors",
-    "multimodal_resize",
-    # --- r10 fix queue: NULL-ordering/identity/domain contracts ---
-    "window_ntile_balance_quartiles",
-    "scalar_string_part",
-    "scalar_math_lineitem",
-    "udf_pandas_udaf_geomean",
-    "events_sliding_10m_5m",
-    "events_multires_rollup",
+    # --- r12 fix queue: division-guard family ---
+    "q14_promo_revenue_share",
+    "q8_market_share",
+    "q2_min_cost_supplier",
+    # --- r12 fix queue: NOT-IN/NULL-key family ---
+    "q16_parts_supplier",
+    "q15_top_supplier",
+    "dq_constraint_checks",
+    # --- r12 fix queue: window NULL-placement law ---
+    "window_first_last_orders",
+    "window_distribution_ranks",
+    # --- r12 fix queue: singleton laws ---
+    "orders_cohort_ltv",
     "events_session_5m",
-    # --- r10 fix queue: empty-array/map folds (+ r11 ADVICE fix) ---
-    "array_hof_embeddings",
-    "map_hof_event_props",
-    # --- r10 fix queue: extended-probe laws ---
+    "psapi_priority_order_stats",
+    "agg_stats_quantity_price",
+    # --- r12 fix queue: cosine dimension-law family ---
+    "dedup_embedding_pairs",
+    "dedup_embedding_clusters",
     "sim_cosine_topk",
-    "sim_cosine_topk_pandas",
+    "sim_label_cohesion",
     "sim_ann_srp",
     "sim_ann_srp_banded",
     "sim_ann_ivf",
     "sim_ann_ivf_stored",
-    "sim_label_cohesion",
-    "dedup_embedding_pairs",
-    "dedup_embedding_clusters",
-    "emb_quantize_int8",
     "emb_vector_store_build",
-    "streaming_dedup_native_keys",
-    "window_event_gaps",
-    "events_transition_matrix",
-    "asof_purchase_prior_view",
-    # --- r11 ADVICE engine-path fixes: re-cert ---
-    "streaming_dedup_expiry_keys",
-    "multimodal_bmp_decode_stats",
-    # --- r11 in-round fixes (rows-only sweep lane + crafted truth 35) ---
-    "sim_brp_lsh_ml",
-    "streaming_sessionize",
-    "merge_upsert_orders_incremental",
-    # --- r6-era freshness: first 2 sorted + crafted-truth-primed q17 ---
-    "join_anti_orderless_customers",
-    "join_aqe_skew_enriched_events",
-    "q17_small_quantity_revenue",
+    # --- r12 fix queue: chain/class/props/time laws ---
+    "dedup_chain_within_delay",
+    "text_langid_nb",
+    "json_event_props",
+    "json_variant_events",
+    "json_map_entries",
+    "map_hof_event_props",
+    "orders_mom_revenue_growth",
+    "events_retention_cohorts",
+    "streaming_static_enrichment",
+    # --- r12 in-round engine-path fixes ---
+    "agg_stats_by_segment",
+    "sql_interface_revenue_by_nation",
+    # --- r6-era freshness (first 12 sorted + truth-primed saturation) ---
+    "join_cross_region_priority_grid",
+    "join_full_outer_balances",
+    "join_region_order_stats",
+    "q12_shipmode_priority",
+    "q18_large_orders",
+    "q4_order_priority_check",
+    "q6_forecast_revenue",
+    "scalar_date_orders",
+    "scalar_levenshtein_nations",
+    "scalar_null_semantics",
+    "scalar_string_customer",
+    "setop_except_statuses",
+    "udf_pandas_saturation",
 )
 
 
