@@ -5,7 +5,11 @@ Usage: python tools/degenerate_sweep.py [src_sf_dir]
 Builds a fixture of 3 real rows per table plus crafted degenerate rows
 (NULL keys, NULL measures, NULL/empty/whitespace text, NULL timestamps,
 empty strings, zero quantities/prices, NULL/empty embeddings, NULL/'{}'
-props), then runs EVERY full-oracle query on BOTH engines and compares
+props; since r12 also NaN/Inf measures — legal once the finite-measure
+law made the variance family oracle-checkable — and the JSON edge-grid
+probes: exact-duplicate keys, non-integer-text values, nested values,
+whitespace-padded integer text), then runs EVERY full-oracle query on
+BOTH engines and compares
 canonicalized results. This closes the gap the per-query probe lists
 cannot: tests/test_constant_inputs.py checks the ENGINE doesn't crash
 and oracle parity on a curated subset, but a divergence where both
@@ -54,6 +58,13 @@ NASTY = {
         (9001, None, None, None, None),
         (9002, "", 0, 0.0, ""),
         (9003, "Customer#000009003", 0, -1.5, "BUILDING"),
+        # nonfinite measures (r12 finite-measure law): DuckDB's variance
+        # accumulator throws on NaN AND Inf where Spark flows NaN, so
+        # variance-bearing queries normalize non-finite -> NULL at
+        # ingress; every other query keeps the r11 NaN-propagation
+        # contract (rounded sum/avg/min/max agree) — both now swept
+        (9004, "Customer#000009004", 0, float("nan"), "MACHINERY"),
+        (9005, "Customer#000009005", 0, float("inf"), "BUILDING"),
     ],
     "supplier": [(9001, None, None, None), (9002, "", 0, 0.0)],
     "part": [(9001, None, None, None, None, None), (9002, "", "", "", 0, 0.0)],
@@ -66,6 +77,9 @@ NASTY = {
         (900002, 9001, 9001, 1, 0.0, 0.0, 0.0, 0.0, "", "", None),
         # negative domains (r10 extended probe): sqrt/ln guards fire here
         (900003, 9001, 9001, 2, -4.0, -2.0, -0.5, -0.1, "R", "F", None),
+        # nonfinite measures (r12): NaN quantity + Inf price reach the
+        # co-moment family's finite ingress and every sum/avg path
+        (900004, 9001, 9001, 3, float("nan"), float("inf"), 0.0, 0.0, "N", "O", None),
     ],
     "events": [
         (900001, None, None, None, None, None),
@@ -87,6 +101,15 @@ NASTY = {
         # keys on DuckDB vs a NULL map on Spark without the json_type law
         (900006, None, 9002, "view", 1.5, "not json {"),
         (900007, None, 9002, "view", 2.5, "[1, 2]"),
+        # r12 JSON typed-extraction laws (edge grid, SCALING.md): exact-
+        # duplicate keys are NO properties (variant parser rejects them,
+        # from_json keeps both entries, json_keys counts twice); non-
+        # integer-text values type to NULL per entry ('2.9' would ROUND
+        # under a bare DuckDB TRY_CAST); nested values crashed the ANSI
+        # cast; whitespace-padded integer text casts on both engines
+        (900008, None, 9001, "click", 1.0, '{"k": 1, "k": 2}'),
+        (900009, None, 9001, "click", 1.0, '{"k": 2.9}'),
+        (900010, None, 9002, "view", 1.0, '{"k": {"a": 1}, "j": " 7"}'),
     ],
     "documents": [
         (900001, None, None, None, None),
