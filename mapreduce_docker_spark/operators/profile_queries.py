@@ -286,15 +286,28 @@ HIST_BUCKETS = 10
 @register(
     "agg_histogram_totalprice",
     f"""
-    WITH s AS (
-      SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+    -- finite-measure law applied to histograms (r12 band-4 differential
+    -- find, seed 444): a NaN value bucketed to 0 on Spark (floor(NaN)
+    -- returns LONG 0) and to {HIST_BUCKETS - 1} on DuckDB (NaN is GREATEST, so
+    -- least() keeps the cap), and a nonfinite min/max poisons every
+    -- bucket bound. A histogram counts VALUES over the FINITE
+    -- distribution: NaN/Inf AND NULL are excluded at ingress on both
+    -- engines — the legacy behavior silently dropped a NULL price into
+    -- the cap bucket, an accident of least()'s NULL-skipping that both
+    -- engines happened to share (measured, tests/test_crafted_truth43).
+    WITH o AS (
+      SELECT o_totalprice FROM orders
+      WHERE isfinite(o_totalprice)
+    ),
+    s AS (
+      SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM o
     ),
     b AS (
       SELECT CAST(CASE WHEN s.mx = s.mn THEN 0
                        ELSE least(floor((o_totalprice - s.mn) / (s.mx - s.mn) * {HIST_BUCKETS}.0),
                                   {HIST_BUCKETS - 1}) END AS BIGINT) AS bucket_idx,
              s.mn, s.mx
-      FROM orders CROSS JOIN s
+      FROM o CROSS JOIN s
     )
     SELECT bucket_idx,
            {rsql(f"any_value(mn) + bucket_idx * (any_value(mx) - any_value(mn)) / {HIST_BUCKETS}.0", 4)} AS lo,
@@ -315,6 +328,13 @@ def agg_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_docker_spark.functions.rounding import dround
 
     orders = load_table(spark, sf_dir, "orders")
+    # finite-measure ingress (r12, seed-444 find): NaN bucketed to 0 here
+    # (Spark's LONG floor(NaN) is 0) and to the cap on DuckDB (NaN-greatest
+    # least()). A histogram counts VALUES: NULL is excluded with the
+    # non-finite — least()'s NULL-skipping had been silently dropping a
+    # NULL price into the cap bucket on BOTH engines (measured).
+    c = F.col("o_totalprice")
+    orders = orders.filter(~F.isnan(c) & (F.abs(c) < F.lit(float("inf"))))
     s = orders.agg(
         F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
     )

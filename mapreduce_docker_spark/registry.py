@@ -189,7 +189,7 @@ def _load_all() -> None:
 #       - time-derived GROUP BY keys / NULL-time ingress (3):
 #         orders_mom_revenue_growth, events_retention_cohorts,
 #         streaming_static_enrichment;
-#   * 2 re-certs for r12 in-round engine-path fixes (fixes take
+#   * 3 re-certs for r12 in-round engine-path fixes (fixes take
 #     freshness slots — the standing precedent):
 #       - agg_stats_by_segment: finite-measure ingress (non-finite ->
 #         NULL on both engines; DuckDB's variance accumulator throws on
@@ -199,16 +199,22 @@ def _load_all() -> None:
 #         (bare floor(double) returns LONG, clamping Inf/NaN — found by
 #         the band-4 nonfinite differential regime on seed 401, fixed
 #         via rounding.spark_sql, pinned in tests/test_crafted_truth43);
-#   * 13 r6-era freshness names: the first 12 of the remaining 21-name
+#       - agg_histogram_totalprice: finite-VALUES ingress (band-4 seed
+#         444 find: a NaN price bucketed to 0 on Spark via the LONG
+#         floor(NaN) and to the cap bucket on DuckDB via NaN-greatest
+#         least(); the same fix retired the measured legacy accident of
+#         a NULL price landing in the cap bucket through least()'s
+#         NULL-skipping on BOTH engines — tests/test_crafted_truth43);
+#   * 12 r6-era freshness names: the first 11 of the remaining 21-name
 #     r6 cohort in stale_report sorted order + udf_pandas_saturation
 #     pulled ahead of its alphabetical turn because its crafted truth
 #     was pre-written in r11 (the hand-truth-first pattern, q17
-#     precedent). The remaining 8 r6 names (setop_exceptall_priorities,
-#     setop_intersect_statuses, setop_union_by_name,
-#     setop_union_segments, window_range_price_band,
+#     precedent). The remaining 9 r6 names (setop_except_statuses,
+#     setop_exceptall_priorities, setop_intersect_statuses,
+#     setop_union_by_name, setop_union_segments, window_range_price_band,
 #     window_top3_orders_per_customer, wordcount_strict_top20,
 #     wordcount_top20) roll to r13.
-# 5 + 30 + 2 + 13 = 50.
+# 5 + 30 + 3 + 12 = 50.
 _PRIORITY_WINDOW = (
     # --- standing canaries ---
     "wordcount",
@@ -255,7 +261,8 @@ _PRIORITY_WINDOW = (
     # --- r12 in-round engine-path fixes ---
     "agg_stats_by_segment",
     "sql_interface_revenue_by_nation",
-    # --- r6-era freshness (first 12 sorted + truth-primed saturation) ---
+    "agg_histogram_totalprice",
+    # --- r6-era freshness (first 11 sorted + truth-primed saturation) ---
     "join_cross_region_priority_grid",
     "join_full_outer_balances",
     "join_region_order_stats",
@@ -267,7 +274,6 @@ _PRIORITY_WINDOW = (
     "scalar_levenshtein_nations",
     "scalar_null_semantics",
     "scalar_string_customer",
-    "setop_except_statuses",
     "udf_pandas_saturation",
 )
 

@@ -245,3 +245,36 @@ def test_langid_unlabeled_class_boundary_hand_truth(spark, tmp_path):
     assert got == _canon(want)
     spec = all_specs()["text_langid_nb"]
     assert _canon(_oracle(tmp_path, ("documents",), spec.sql)) == _canon(want)
+
+
+def test_histogram_finite_ingress_hand_truth(spark, tmp_path):
+    """The finite-measure law applied to histograms (seed-444 band-4
+    find): a NaN totalprice bucketed to 0 on Spark (LONG floor(NaN) = 0)
+    and to the cap bucket on DuckDB (NaN-greatest least()), and nonfinite
+    min/max poisoned every bucket bound. A histogram counts VALUES, so
+    NULL is excluded with the non-finite — the legacy path dropped a NULL
+    price into the CAP bucket on both engines, an accident of least()'s
+    NULL-skipping (measured: least(NULL, 9) = 9 on Spark AND DuckDB).
+
+    Hand truth on [NULL, NaN, +Inf, -Inf, 10, 20, 30]: the finite set
+    {10,20,30} gives mn=10, mx=30, width 2; 10 -> bucket 0 [10,12),
+    20 -> floor(5) = 5 [20,22), 30 -> capped into bucket 9 [28,30];
+    the NULL/NaN/Inf rows vanish."""
+    nan, inf = float("nan"), float("inf")
+    rows = [(1, None), (2, nan), (3, inf), (4, -inf), (5, 10.0), (6, 20.0), (7, 30.0)]
+    _write(spark, tmp_path, "orders", rows, "o_orderkey long, o_totalprice double")
+    from mapreduce_docker_spark.operators.profile_queries import (
+        agg_histogram_totalprice,
+    )
+
+    want = [
+        (0, 10.0, 12.0, 1),
+        (5, 20.0, 22.0, 1),
+        (9, 28.0, 30.0, 1),
+    ]
+    got = _canon(
+        tuple(r) for r in agg_histogram_totalprice(spark, str(tmp_path)).collect()
+    )
+    assert got == _canon(want)
+    spec = all_specs()["agg_histogram_totalprice"]
+    assert _canon(_oracle(tmp_path, ("orders",), spec.sql)) == _canon(want)
