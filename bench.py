@@ -997,6 +997,25 @@ def main() -> None:
                 "single-shot cannot manufacture a phantom exponent again; "
                 "the cpu_probe_sec_* fields make machine drift a measured "
                 "number rather than an inference",
+                "r12 record adjudication: three full runs on a machine "
+                "with an ambient idle probe of ~0.046-0.053 and periodic "
+                "host bursts — none achieved canary_adjusted_within_bar. "
+                "The committed run has the QUIETEST suite blocks "
+                "(cpu_probe_sec_suite_block ~0.047/0.050), so its raw "
+                "suite medians are the trustworthy axis (r10 rule); its "
+                "isolated-canary factor 0.78 was contaminated by a burst "
+                "during that phase (window_running_spend isolated +63%), "
+                "so drift_adjusted deltas skew ~+25% this round — "
+                "attribution hints only. Ladder points now carry "
+                "per-point probes with min-of-3 reps (judge-r11 #3) and "
+                "were mostly withheld under the bursts — an earlier run "
+                "recorded copurchase_census_x16=25.5s beside exactly "
+                "linear wedge counts, i.e. JVM-internal pressure the "
+                "python-side probe cannot see; withholding is the "
+                "designed outcome. json_event_props is genuinely "
+                "+~60% raw vs r11: the r12 duplicate-key law adds a "
+                "json_object_keys parse per row (law-bearing cost, "
+                "SCALING.md JSON typed-extraction laws)",
             ],
             "sf": sf_val,
             "cpu_probe_sec_start": cpu_probe_start,
