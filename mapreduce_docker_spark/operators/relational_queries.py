@@ -791,10 +791,21 @@ def json_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     jok = F.json_object_keys("props")
     no_dup = F.size(jok) == F.size(F.array_distinct(jok))
     k = F.when(no_dup, F.get_json_object("props", "$.k").try_cast("int"))
-    return events.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        dround(F.avg(k), 4).alias("avg_k"),
-        F.max(k).alias("max_k"),
+    # project k ONCE before the aggregate: embedding the guarded
+    # extraction in avg() AND max() made each partial aggregate re-parse
+    # the props JSON per row (the CASE appeared verbatim in both
+    # partial_avg and partial_max — plan-read after the r12 law landed);
+    # a pre-agg projection evaluates it once and codegen's common-
+    # subexpression elimination collapses the two json_object_keys calls
+    # inside the single projection
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
     )
 
 
