@@ -14,10 +14,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # noqa: E402
 
 
-def _with_probe_sequence(monkeypatch, probes):
+def _with_probe_sequence(monkeypatch, probes, bar=0.05):
     it = iter(probes)
     monkeypatch.setattr(bench, "_cpu_probe", lambda: next(it))
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setitem(bench._LADDER_BAR, "value", bar)
 
 
 def test_ladder_point_quiet_records_min_of_reps(monkeypatch):
@@ -60,3 +61,29 @@ def test_ladder_point_boundary_probe_is_quiet(monkeypatch):
     out: dict = {}
     assert bench._ladder_point(out, "p", lambda: 2.0, reps=1)
     assert out["p"] == 2.0
+
+
+def test_calibrated_bar_floor_and_scaling(monkeypatch):
+    # idle probe well under the floor: the floor stands
+    _with_probe_sequence(monkeypatch, [0.03, 0.031, 0.029])
+    out: dict = {}
+    assert bench._calibrate_ladder_bar(out) == 0.05
+    assert out["ladder_quiet_bar"] == 0.05
+    # idle probe ABOVE the floor (the r12 host: idle 0.046-0.053): the
+    # bar scales to 1.3x the measured idle median and is recorded
+    _with_probe_sequence(monkeypatch, [0.052, 0.048, 0.05])
+    out2: dict = {}
+    assert bench._calibrate_ladder_bar(out2) == round(1.3 * 0.05, 4)
+    assert out2["ladder_idle_probe"] == 0.05
+
+
+def test_ladder_point_uses_calibrated_bar(monkeypatch):
+    # probe 0.06 passes under a calibrated 0.065 bar, fails under 0.05
+    _with_probe_sequence(monkeypatch, [0.06, 0.06], bar=0.065)
+    out: dict = {}
+    assert bench._ladder_point(out, "p", lambda: 1.0, reps=1)
+    assert out["p"] == 1.0 and out["p_bar"] == 0.065
+    _with_probe_sequence(monkeypatch, [0.06, 0.06, 0.06, 0.06], bar=0.05)
+    out2: dict = {}
+    assert not bench._ladder_point(out2, "p", lambda: 1.0, reps=1)
+    assert "p" not in out2
