@@ -1524,20 +1524,29 @@ def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_percentiles_by_segment",
-    """
+    f"""
+    -- finite-measure law, order-statistic extension (r13, judge-r12 #1):
+    -- a NaN measure occupies DIFFERENT sort positions in the two engines'
+    -- order statistics (Spark sorts NaN last; DuckDB's quantile treats it
+    -- as greatest-but-engine-specific), so median/p90 disagree on WHICH
+    -- value the cut lands on the moment one NaN enters a group (seed-429
+    -- band-4 differential find). Percentiles are order statistics of the
+    -- MEASURE, so the same non-finite->NULL ingress the variance family
+    -- carries applies: both engines then skip the value like NULL.
     SELECT c_mktsegment,
-           floor(median(c_acctbal) * 100.0 + 0.5) / 100.0 AS median_bal,
-           floor(quantile_cont(c_acctbal, 0.9) * 100.0 + 0.5) / 100.0 AS p90_bal
+           floor(median({sql_finite('c_acctbal')}) * 100.0 + 0.5) / 100.0 AS median_bal,
+           floor(quantile_cont({sql_finite('c_acctbal')}, 0.9) * 100.0 + 0.5) / 100.0 AS p90_bal
     FROM customer GROUP BY c_mktsegment
     """,
     section="A7",
-    note="exact percentiles (interpolated): Spark median/percentile == DuckDB median/quantile_cont; approx_percentile is the sketch variant for 100 TB (not oracle-matchable)",
+    note="exact percentiles (interpolated): Spark median/percentile == DuckDB median/quantile_cont over the finite-normalized measure (order-statistic extension of the finite-measure law, r13); approx_percentile is the sketch variant for 100 TB (not oracle-matchable)",
 )
 def agg_percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cust,) = _t(spark, sf_dir, "customer")
+    bal = finite("c_acctbal")
     return cust.groupBy("c_mktsegment").agg(
-        dround(F.median("c_acctbal"), 2).alias("median_bal"),
-        dround(F.percentile("c_acctbal", 0.9), 2).alias("p90_bal"),
+        dround(F.median(bal), 2).alias("median_bal"),
+        dround(F.percentile(bal, 0.9), 2).alias("p90_bal"),
     )
 
 
@@ -2210,11 +2219,21 @@ def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_winsorized_value_stats",
     f"""
-    WITH p AS (
+    -- finite-measure law, order-statistic extension (r13, judge-r12 #1):
+    -- quantile_cont/percentile are order statistics of the measure, so the
+    -- non-finite->NULL ingress applies (same class as
+    -- agg_percentiles_by_segment's seed-429 find). Normalized ONCE at the
+    -- source CTE so the percentile relation and the clamp scan see the
+    -- same population; a normalized-out value compares NULL against both
+    -- cut lines -> v NULL, clamped 0, identically on both engines.
+    WITH e0 AS (
+      SELECT event_type, {sql_finite('value')} AS value FROM events
+    ),
+    p AS (
       SELECT event_type,
              {rsql("quantile_cont(value, 0.05)", 6)} AS p05,
              {rsql("quantile_cont(value, 0.95)", 6)} AS p95
-      FROM events GROUP BY event_type
+      FROM e0 GROUP BY event_type
     ),
     w AS (
       SELECT e.event_type,
@@ -2222,7 +2241,7 @@ def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN e.value > p.p95 THEN p.p95
                   ELSE e.value END AS v,
              CASE WHEN e.value < p.p05 OR e.value > p.p95 THEN 1 ELSE 0 END AS clamped
-      FROM events e JOIN p ON p.event_type = e.event_type
+      FROM e0 e JOIN p ON p.event_type = e.event_type
     )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
@@ -2245,7 +2264,11 @@ def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def agg_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    # finite-measure ingress (order-statistic extension, r13): normalize the
+    # measure ONCE at the source so percentiles and clamp see one population.
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", finite("value").alias("value")
+    )
     p = ev.groupBy("event_type").agg(
         dround(F.percentile("value", 0.05), 6).alias("p05"),
         dround(F.percentile("value", 0.95), 6).alias("p95"),
@@ -2643,6 +2666,11 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def lineitem_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # finite-measure order-statistic law (r13) EXEMPTION: the percentile
+    # measure is an integer day difference (datediff of two DATE columns) —
+    # NaN/Inf are unrepresentable in its type, so no finite() ingress is
+    # needed or applied. A NULL date yields a NULL diff, skipped by both
+    # engines' percentile identically.
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
