@@ -150,71 +150,35 @@ def _load_all() -> None:
 # variance family stayed out) was SUPERSEDED in r12 by the
 # finite-measure ingress law — see SCALING.md "NaN frontier".
 #
-# Round 12 window = the r12 FIX QUEUE pre-encoded at the end of r11
-# (judge-r11 next-round #1: execute ALL of it before any freshness),
-# plus the two r12 in-round engine-path fixes, plus 13 r6-freshness
-# slots. Grouping preserved so a failure maps to its root cause:
+# Round 12 window (archived summary; full rationale in git history at
+# 9564187): 5 canaries + the 30-name r11 differential-law re-cert queue
+# (division-guard, NOT-IN/NULL-key, window NULL-placement, cosine
+# dimension law x9, JSON typed-extraction x4, chain/class/time laws) +
+# 3 r12 in-round fixes (finite-measure ingress, Spark-SQL LONG-floor,
+# finite-VALUES histogram) + 12 r6-freshness names. Result: 50/50
+# full-oracle green, zero errors — the first fully-clean window since
+# r4 (CORRECTNESS_r12).
+#
+# Round 13 window = fixes-before-freshness (standing precedent), then
+# the ENTIRE remaining r6/r7 freshness tail, then the oldest r8 names:
 #   * 5 standing canaries;
-#   * 30 re-certs for engine paths changed late in r11 (each law is
-#     documented in SCALING.md "Random-fixture differential laws" and
-#     pinned in tests/test_crafted_truth36-38):
-#       - division-guard family (3): q14_promo_revenue_share,
-#         q8_market_share, q2_min_cost_supplier — a zero data-dependent
-#         denominator now yields NULL via lazy CASE on both engines;
-#       - NOT-IN/NULL-key family (3): q16_parts_supplier,
-#         q15_top_supplier, dq_constraint_checks — NULL keys excluded
-#         explicitly on both sides, PK-completeness counted at the gate;
-#       - window NULL-placement law (2): window_first_last_orders,
-#         window_distribution_ranks (window_running_spend is a canary);
-#       - order-time contract: orders_cohort_ltv;
-#       - session boundary law: events_session_5m;
-#       - pandas dropna law: psapi_priority_order_stats;
-#       - pairwise-complete corr (r11) AND the r12 finite-measure
-#         ingress (variance family joined the oracle contract,
-#         tests/test_crafted_truth35): agg_stats_quantity_price;
-#       - cosine dimension law at every space ingress (9):
-#         dedup_embedding_pairs, dedup_embedding_clusters,
-#         sim_cosine_topk, sim_label_cohesion, sim_ann_srp,
-#         sim_ann_srp_banded, sim_ann_ivf, sim_ann_ivf_stored,
-#         emb_vector_store_build (rows-only sim_cosine_topk_pandas
-#         stays pytest-pinned to its oracle-proven twin);
-#       - NULL-key chain law: dedup_chain_within_delay;
-#       - unlabeled-class law: text_langid_nb (boundary hand truth
-#         pre-written, tests/test_crafted_truth43);
-#       - malformed-props family (4) — now ALSO carrying the r12 JSON
-#         typed-extraction laws (duplicate-key + strict integer-text +
-#         decoupled key listing, measured edge grid in
-#         tests/test_crafted_truth43, SCALING.md): json_event_props,
-#         json_variant_events, json_map_entries, map_hof_event_props;
-#       - time-derived GROUP BY keys / NULL-time ingress (3):
-#         orders_mom_revenue_growth, events_retention_cohorts,
-#         streaming_static_enrichment;
-#   * 3 re-certs for r12 in-round engine-path fixes (fixes take
-#     freshness slots — the standing precedent):
-#       - agg_stats_by_segment: finite-measure ingress (non-finite ->
-#         NULL on both engines; DuckDB's variance accumulator throws on
-#         NaN AND Inf where Spark flows NaN — measured,
-#         tests/test_crafted_truth35);
-#       - sql_interface_revenue_by_nation: the Spark-SQL-text floor law
-#         (bare floor(double) returns LONG, clamping Inf/NaN — found by
-#         the band-4 nonfinite differential regime on seed 401, fixed
-#         via rounding.spark_sql, pinned in tests/test_crafted_truth43);
-#       - agg_histogram_totalprice: finite-VALUES ingress (band-4 seed
-#         444 find: a NaN price bucketed to 0 on Spark via the LONG
-#         floor(NaN) and to the cap bucket on DuckDB via NaN-greatest
-#         least(); the same fix retired the measured legacy accident of
-#         a NULL price landing in the cap bucket through least()'s
-#         NULL-skipping on BOTH engines — tests/test_crafted_truth43);
-#   * 12 r6-era freshness names: the first 11 of the remaining 21-name
-#     r6 cohort in stale_report sorted order + udf_pandas_saturation
-#     pulled ahead of its alphabetical turn because its crafted truth
-#     was pre-written in r11 (the hand-truth-first pattern, q17
-#     precedent). The remaining 9 r6 names (setop_except_statuses,
-#     setop_exceptall_priorities, setop_intersect_statuses,
-#     setop_union_by_name, setop_union_segments, window_range_price_band,
-#     window_top3_orders_per_customer, wordcount_strict_top20,
-#     wordcount_top20) roll to r13.
-# 5 + 30 + 3 + 12 = 50.
+#   * 2 re-certs for the r13 in-round fix — the order-statistic
+#     extension of the finite-measure law (judge-r12 next-round #1,
+#     seed-429 band-4 find: one NaN in a group flips WHICH column goes
+#     NaN between Spark's NaN-last percentile order and DuckDB's
+#     drop-NaN-keep-Inf one; SCALING.md "Order-statistic NaN
+#     placement", tests/test_crafted_truth45):
+#     agg_percentiles_by_segment (also the oldest-cohort r7 name),
+#     agg_winsorized_value_stats;
+#   * the 9 remaining r6-era names (clears the r6 cohort completely;
+#     wordcount_top20/wordcount_strict_top20 hand truths pre-written in
+#     tests/test_crafted_truth44, window_range_price_band's nonfinite
+#     RANGE-frame agreement pinned in test_crafted_truth45);
+#   * the 27 remaining r7-era names (clears the r7 cohort completely);
+#   * 7 r8-era names in stale_report sorted order — after this window
+#     nothing in the driver record is older than r8 (judge-r12
+#     next-round #3).
+# 5 + 2 + 9 + 27 + 7 = 50.
 _PRIORITY_WINDOW = (
     # --- standing canaries ---
     "wordcount",
@@ -222,59 +186,55 @@ _PRIORITY_WINDOW = (
     "dedup_minhash_pairs",
     "window_running_spend",
     "events_sessionize",
-    # --- r12 fix queue: division-guard family ---
-    "q14_promo_revenue_share",
-    "q8_market_share",
-    "q2_min_cost_supplier",
-    # --- r12 fix queue: NOT-IN/NULL-key family ---
-    "q16_parts_supplier",
-    "q15_top_supplier",
-    "dq_constraint_checks",
-    # --- r12 fix queue: window NULL-placement law ---
-    "window_first_last_orders",
-    "window_distribution_ranks",
-    # --- r12 fix queue: singleton laws ---
-    "orders_cohort_ltv",
-    "events_session_5m",
-    "psapi_priority_order_stats",
-    "agg_stats_quantity_price",
-    # --- r12 fix queue: cosine dimension-law family ---
-    "dedup_embedding_pairs",
-    "dedup_embedding_clusters",
-    "sim_cosine_topk",
-    "sim_label_cohesion",
-    "sim_ann_srp",
-    "sim_ann_srp_banded",
-    "sim_ann_ivf",
-    "sim_ann_ivf_stored",
-    "emb_vector_store_build",
-    # --- r12 fix queue: chain/class/props/time laws ---
-    "dedup_chain_within_delay",
-    "text_langid_nb",
-    "json_event_props",
-    "json_variant_events",
-    "json_map_entries",
-    "map_hof_event_props",
-    "orders_mom_revenue_growth",
-    "events_retention_cohorts",
-    "streaming_static_enrichment",
-    # --- r12 in-round engine-path fixes ---
-    "agg_stats_by_segment",
-    "sql_interface_revenue_by_nation",
-    "agg_histogram_totalprice",
-    # --- r6-era freshness (first 11 sorted + truth-primed saturation) ---
-    "join_cross_region_priority_grid",
-    "join_full_outer_balances",
-    "join_region_order_stats",
-    "q12_shipmode_priority",
-    "q18_large_orders",
-    "q4_order_priority_check",
-    "q6_forecast_revenue",
-    "scalar_date_orders",
-    "scalar_levenshtein_nations",
-    "scalar_null_semantics",
-    "scalar_string_customer",
-    "udf_pandas_saturation",
+    # --- r13 in-round fix: order-statistic finite-measure extension ---
+    "agg_percentiles_by_segment",
+    "agg_winsorized_value_stats",
+    # --- r6-era freshness (the full remaining cohort) ---
+    "setop_except_statuses",
+    "setop_exceptall_priorities",
+    "setop_intersect_statuses",
+    "setop_union_by_name",
+    "setop_union_segments",
+    "window_range_price_band",
+    "window_top3_orders_per_customer",
+    "wordcount_strict_top20",
+    "wordcount_top20",
+    # --- r7-era freshness (the full remaining cohort) ---
+    "agg_approx_distinct_users",
+    "agg_distinct_customers",
+    "agg_pivot_status_by_segment",
+    "agg_unpivot_balances",
+    "dedup_simhash",
+    "dedup_simhash_buckets",
+    "graph_pagerank_purchases",
+    "join_left_customer_orders",
+    "join_semi_urgent_customers",
+    "join_theta_acctbal_band",
+    "q10_returned_item_losses",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q19_discounted_revenue",
+    "q20_potential_part_promotion",
+    "q21_waiting_suppliers",
+    "q7_volume_shipping",
+    "q9_product_type_profit",
+    "scalar_datetime_events",
+    "scalar_interval_orders",
+    "sketch_cms_heavy_hitters",
+    "text_bigrams_top30",
+    "text_pii_scrub",
+    "topk_orders_by_price",
+    "udf_udtf_bigrams",
+    "wordcount_total_tokens",
+    "wordcount_unique",
+    # --- r8-era freshness (first 7 in stale_report sorted order) ---
+    "agg_approx_percentiles",
+    "agg_collect_order_keys",
+    "agg_hll_sketch_union_users",
+    "bootstrap_zip_wordcount",
+    "dedup_span_tiles",
+    "events_funnel_conversion",
+    "multimodal_features",
 )
 
 
