@@ -175,10 +175,16 @@ def _load_all() -> None:
 #     tests/test_crafted_truth44, window_range_price_band's nonfinite
 #     RANGE-frame agreement pinned in test_crafted_truth45);
 #   * the 27 remaining r7-era names (clears the r7 cohort completely);
-#   * 7 r8-era names in stale_report sorted order — after this window
-#     nothing in the driver record is older than r8 (judge-r12
-#     next-round #3).
-# 5 + 2 + 9 + 27 + 7 = 50.
+#   * 2 re-certs for the r13 path-safety law (judge-r12 ADVICE #3:
+#     '"'/'\\'-bearing props keys break the oracle's quoted '$."k"'
+#     path, so such objects are NO properties on both engines —
+#     engine-path change, so fixes-before-freshness applies):
+#     json_map_entries, map_hof_event_props;
+#   * 5 r8-era names in stale_report sorted order (the next two,
+#     events_funnel_conversion + multimodal_features, roll to r14) —
+#     after this window nothing in the driver record is older than r8
+#     (judge-r12 next-round #3).
+# 5 + 2 + 9 + 27 + 2 + 5 = 50.
 _PRIORITY_WINDOW = (
     # --- standing canaries ---
     "wordcount",
@@ -227,14 +233,15 @@ _PRIORITY_WINDOW = (
     "udf_udtf_bigrams",
     "wordcount_total_tokens",
     "wordcount_unique",
-    # --- r8-era freshness (first 7 in stale_report sorted order) ---
+    # --- r13 in-round fix: JSON path-safety law ---
+    "json_map_entries",
+    "map_hof_event_props",
+    # --- r8-era freshness (first 5 in stale_report sorted order) ---
     "agg_approx_percentiles",
     "agg_collect_order_keys",
     "agg_hll_sketch_union_users",
     "bootstrap_zip_wordcount",
     "dedup_span_tiles",
-    "events_funnel_conversion",
-    "multimodal_features",
 )
 
 
