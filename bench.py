@@ -900,8 +900,12 @@ def main() -> None:
         # what the BENCH_QUIET chain provides.
         root_dir = os.path.dirname(os.path.abspath(__file__))
         summary_file = os.path.join(root_dir, "BENCH_SUMMARY.json")
+        # numeric sort on the round number (r14 ADVICE #4): the %02d pad
+        # only protects two digits, so a lexicographic sort would skip
+        # BENCH_QUIET_r100 in favor of r99 and silently anchor stale
         quiet_files = sorted(
-            p for p in os.listdir(root_dir) if re.match(r"BENCH_QUIET_r\d+\.json$", p)
+            (p for p in os.listdir(root_dir) if re.match(r"BENCH_QUIET_r\d+\.json$", p)),
+            key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
         )
         anchor_file = (
             os.path.join(root_dir, quiet_files[-1]) if quiet_files else summary_file
@@ -1127,27 +1131,28 @@ def main() -> None:
             "dedup_lsh_scaling": dedup_scaling,
             "graph_scaling": graph_scaling,
         }
-        # the FULL summary goes to a committed repo file (VERDICT r5 #3:
-        # the driver's stdout tail capture truncates from the FRONT, and
-        # r5's summary outgrew it, eating the headline field) ...
-        with open(summary_file, "w") as fh:
-            json.dump(summary, fh, indent=1)
-            fh.write("\n")
         # quiet records survive artifact deposits (judge-r12 what's-wrong
         # #3: the driver's post-commit BENCH_SUMMARY.json deposit
         # overwrote the builder's quiet r11 record, so r12's prev_round
         # comparisons anchored to a degraded run). A quiet run is ALSO
         # persisted under a round-stamped name the driver never writes:
-        # BENCH_QUIET_r{N}.json, N = newest CORRECTNESS round + 1 (the
-        # round in progress). Two criteria, recorded in the file:
-        #   * canary_bar — the cross-round consistency bar passed (only
-        #     meaningful when the anchor itself was quiet);
-        #   * probe_quiet — every machine probe this run took (start,
-        #     end, suite-block pair, ladder idle) sat at or under 2x the
-        #     ladder floor. This BOOTSTRAPS the chain when no quiet
-        #     anchor exists yet: the run proves its own machine was
-        #     quiet even though a contaminated anchor makes the
-        #     cross-round bar unpassable.
+        # BENCH_QUIET_r{N}.json. Two criteria, recorded in the file:
+        #   * canary_bar — the cross-round consistency bar passed AND the
+        #     run proved its own machine quiet (r14 ADVICE #1: the machine
+        #     factor is the median canary ratio, which absorbs UNIFORM
+        #     load, so a uniformly loaded run could pass the ±0.05
+        #     residual-spread bar alone and seed the chain with inflated
+        #     raw timings — the exact contaminated-anchor failure the
+        #     chain exists to prevent);
+        #   * probe_quiet — EVERY machine probe this run took (start, end,
+        #     suite-block pair, ladder idle, every per-ladder-point rep
+        #     probe including withheld points, survivors_x16) sat at or
+        #     under 2x the ladder floor (r14 ADVICE #3: ladder-point
+        #     probes were previously omitted, so a run hot only during
+        #     ladder work could still read as quiet). This BOOTSTRAPS the
+        #     chain when no quiet anchor exists yet.
+        # probe_quiet and the full probe list are recorded in the summary
+        # unconditionally so any record is auditable after the fact.
         probes_taken = [
             cpu_probe_start,
             cpu_end,
@@ -1158,24 +1163,56 @@ def main() -> None:
             for d in (dedup_scaling, graph_scaling)
             if isinstance(d, dict)
             for k, v in d.items()
-            if k == "ladder_idle_probe" and isinstance(v, (int, float))
+            # every cpu probe the ladders record ends in `_probe`
+            # (`ladder_idle_probe`, per-point `<key>_probe` — written even
+            # when the point is withheld — and `survivors_x16_probe`); the
+            # graph subprocess also brackets itself with cpu_probe_sec_*
+            if (k.endswith("_probe") or k.startswith("cpu_probe_sec"))
+            and isinstance(v, (int, float))
         ]
         probe_quiet = all(p <= 2 * _LADDER_BAR_FLOOR for p in probes_taken)
+        summary["probe_quiet"] = probe_quiet
+        summary["probes_taken_max"] = max(probes_taken) if probes_taken else None
+        # the FULL summary goes to a committed repo file (VERDICT r5 #3:
+        # the driver's stdout tail capture truncates from the FRONT, and
+        # r5's summary outgrew it, eating the headline field) ...
+        with open(summary_file, "w") as fh:
+            json.dump(summary, fh, indent=1)
+            fh.write("\n")
         quiet_criterion = (
             "canary_bar"
-            if canary_adjusted_within_bar
+            if (canary_adjusted_within_bar and probe_quiet)
             else ("probe_quiet" if probe_quiet else None)
         )
         if quiet_criterion:
+            # round stamp (r14 ADVICE #2): the old "newest CORRECTNESS
+            # round + 1" rule is order-dependent — a bench run AFTER the
+            # current round's CORRECTNESS deposit stamps the NEXT round.
+            # An explicit env override wins; otherwise the heuristic
+            # stands but the basis is recorded so the chain is auditable.
             rounds = [
                 int(m.group(1))
                 for p in os.listdir(root_dir)
                 if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", p))
             ]
-            rnd = (max(rounds) + 1) if rounds else 0
+            env_round = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+            basis = max(rounds) if rounds else None
+            rnd = int(env_round) if env_round else ((basis + 1) if rounds else 0)
             quiet_file = os.path.join(root_dir, f"BENCH_QUIET_r{rnd:02d}.json")
             with open(quiet_file, "w") as fh:
-                json.dump({**summary, "quiet_criterion": quiet_criterion}, fh, indent=1)
+                json.dump(
+                    {
+                        **summary,
+                        "quiet_criterion": quiet_criterion,
+                        "quiet_round_source": (
+                            "env:SPARK_GRAFT_BENCH_ROUND"
+                            if env_round
+                            else f"max_correctness_round({basis})+1"
+                        ),
+                    },
+                    fh,
+                    indent=1,
+                )
                 fh.write("\n")
             print(f"quiet record persisted: {quiet_file}", file=sys.stderr)
         # ... and stdout stays compact: the contract line only. Keys are
