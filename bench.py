@@ -900,12 +900,23 @@ def main() -> None:
         # what the BENCH_QUIET chain provides.
         root_dir = os.path.dirname(os.path.abspath(__file__))
         summary_file = os.path.join(root_dir, "BENCH_SUMMARY.json")
-        # numeric sort on the round number (r14 ADVICE #4): the %02d pad
-        # only protects two digits, so a lexicographic sort would skip
-        # BENCH_QUIET_r100 in favor of r99 and silently anchor stale
+        # numeric sort on (round, within-round sequence) (r14 ADVICE #4):
+        # the %02d pad only protects two digits, so a lexicographic sort
+        # would skip BENCH_QUIET_r100 in favor of r99 and silently anchor
+        # stale; the optional _K suffix is the within-round sequence (a
+        # second quiet run in the same round persists beside, not over,
+        # the first — the chain keeps every quiet record)
+        def _quiet_key(p):
+            m = re.match(r"BENCH_QUIET_r(\d+)(?:_(\d+))?\.json$", p)
+            return (int(m.group(1)), int(m.group(2) or 1))
+
         quiet_files = sorted(
-            (p for p in os.listdir(root_dir) if re.match(r"BENCH_QUIET_r\d+\.json$", p)),
-            key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
+            (
+                p
+                for p in os.listdir(root_dir)
+                if re.match(r"BENCH_QUIET_r\d+(?:_\d+)?\.json$", p)
+            ),
+            key=_quiet_key,
         )
         anchor_file = (
             os.path.join(root_dir, quiet_files[-1]) if quiet_files else summary_file
@@ -1199,6 +1210,15 @@ def main() -> None:
             basis = max(rounds) if rounds else None
             rnd = int(env_round) if env_round else ((basis + 1) if rounds else 0)
             quiet_file = os.path.join(root_dir, f"BENCH_QUIET_r{rnd:02d}.json")
+            seq = 2
+            while os.path.exists(quiet_file):
+                # never overwrite an earlier quiet record (it may be a
+                # prior run's anchor, or a mis-by-one stamp from the old
+                # heuristic) — persist beside it with a sequence suffix
+                quiet_file = os.path.join(
+                    root_dir, f"BENCH_QUIET_r{rnd:02d}_{seq}.json"
+                )
+                seq += 1
             with open(quiet_file, "w") as fh:
                 json.dump(
                     {

@@ -36,11 +36,38 @@ WORD_PATTERN = "[a-z]+"
 # bit-exact reference parity: Unicode-aware word boundaries like Python re
 STRICT_PATTERN = r"(?U)\b[a-z]+\b"
 
+# Simple-casing fold law (r14 band-6 differential find, seed 615;
+# SCALING.md "Simple-casing fold"): Java/Python FULL lowercase differs
+# from RE2/utf8proc SIMPLE (per-codepoint) lowercase on exactly two
+# non-locale code points — İ U+0130, Unicode's only EXPANDING lowercase
+# (Java: 'i' + combining dot U+0307, which then SPLITS an [a-z]+ token
+# run: 'İstanbul' -> ['i','stanbul']), and Σ U+03A3, the only
+# CONTEXT-SENSITIVE one (Java: final sigma ς word-finally; utf8proc: σ
+# everywhere). The ENGINE-STANDARD fold pre-reduces both to their simple
+# mappings before lower(), so Spark computes byte-identical folds to the
+# native lower() every DuckDB oracle already uses. tokens_strict is
+# deliberately EXEMPT: its contract is bit-exact Python-reference parity
+# (Python str.lower is full casing too) and it is rows-only by contract.
+_SIMPLE_CASE_SRC = "İΣ"
+_SIMPLE_CASE_DST = "iσ"
+_PY_SIMPLE_CASE = str.maketrans({0x0130: "i", 0x03A3: "σ"})
+
+
+def fold(col: Column | str) -> Column:
+    """Engine-standard case fold: simple-casing lower() (law above)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.translate(c, _SIMPLE_CASE_SRC, _SIMPLE_CASE_DST))
+
+
+def py_fold(text: str) -> str:
+    """Python-side twin of :func:`fold` for the RDD/UDTF word-count lanes
+    (Python ``str.lower`` is full casing, same as Java's)."""
+    return text.translate(_PY_SIMPLE_CASE).lower()
+
 
 def tokens(col: Column | str) -> Column:
     """array<string> of engine-standard word tokens for a text column."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract_all(F.lower(c), F.lit(WORD_PATTERN), 0)
+    return F.regexp_extract_all(fold(col), F.lit(WORD_PATTERN), 0)
 
 
 def tokens_strict(col: Column | str) -> Column:

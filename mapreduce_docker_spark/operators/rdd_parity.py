@@ -23,6 +23,7 @@ from operator import add
 from typing import Iterable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 # exact reference tokenizer (worker.py:6,13): lowercase then \b[a-z]+\b
@@ -34,6 +35,9 @@ _SCHEMA = StructType(
 
 
 def _tokenize(line: str) -> list[str]:
+    # FULL-casing lower, deliberately: this is the reference-exact strict
+    # lane (pinned equal to tokens_strict, which is exempt from the r14
+    # simple-casing fold law — see functions/tokenize.py)
     return _WORD_RE.findall(line.lower())
 
 

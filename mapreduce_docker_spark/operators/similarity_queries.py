@@ -484,12 +484,21 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label,
            count(*) AS n_pairs,
-           {rsql("avg(cos_sim)", 4)} AS avg_intra_cos,
+           {rsql(
+               "CAST(sum(CAST(floor(cos_sim * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)"
+               " / count(floor(cos_sim * 10000.0 + 0.5)) / 10000.0",
+               4,
+           )} AS avg_intra_cos,
            {rsql("max(cos_sim)", 4)} AS max_intra_cos
     FROM pairs GROUP BY label
     """,
     section="U3",
-    note="intra-cluster cosine cohesion vs ground-truth labels (bounded sample)",
+    note="intra-cluster cosine cohesion vs ground-truth labels (bounded "
+    "sample); the group mean is the EXACT decimal average of the 4-dp "
+    "pair scores via a scaled-integer BIGINT sum (quantized-mean law, "
+    "SCALING.md — seed-547 measured a float avg of six 4-dp scores "
+    "landing exactly on the 0.00005 half-boundary, where last-ulp "
+    "accumulation-order drift flips dround across engines)",
 )
 def sim_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit = _unit_vectors(spark, sf_dir).filter(F.col("vec_id") < 200)
@@ -501,9 +510,21 @@ def sim_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("va") < F.col("vb")))
         .select("label", dround(_dot(F.col("ua"), F.col("ub")), 4).alias("cos_sim"))
     )
-    return pairs.groupBy("label").agg(
+    # quantized-mean law (seed-547): cos_sim is exact at 4 decimals by
+    # construction, so its mean is a RATIONAL of integers — recover the
+    # scaled integer (floor(x*1e4+0.5) is dround's own numerator, exact
+    # for the finite unit-vector cosines), BIGINT-sum it (associative,
+    # accumulation-order-free), divide once. Both engines then evaluate
+    # bit-identical doubles into the final dround; a float avg of the
+    # same values concentrates probability mass ON the half-boundary
+    # (same-scale quantized inputs), where one ulp of shuffle-order
+    # drift flips the rounded digit.
+    scaled = F.floor(F.col("cos_sim") * F.lit(10000.0) + F.lit(0.5)).cast("long")
+    return pairs.withColumn("cos_i", scaled).groupBy("label").agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        dround(F.avg("cos_sim"), 4).alias("avg_intra_cos"),
+        dround(
+            F.sum("cos_i").cast("double") / F.count("cos_i") / F.lit(10000.0), 4
+        ).alias("avg_intra_cos"),
         dround(F.max("cos_sim"), 4).alias("max_intra_cos"),
     )
 

@@ -23,7 +23,7 @@ from pyspark.sql.window import Window
 from mapreduce_docker_spark.functions.rounding import dround
 from mapreduce_docker_spark.functions.rounding import sql as rsql
 from mapreduce_docker_spark.functions import texthash as th
-from mapreduce_docker_spark.functions.tokenize import tokens
+from mapreduce_docker_spark.functions.tokenize import fold, tokens
 from mapreduce_docker_spark.registry import register
 from mapreduce_docker_spark.sources.catalog import load_table, scatter
 
@@ -631,7 +631,7 @@ _PII_DIGITS = "[0-9]{6,}"
 )
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    low = F.lower(F.col("text"))
+    low = fold(F.col("text"))  # simple-casing fold law (tokenize.fold)
     clean = F.regexp_replace(
         F.regexp_replace(low, _PII_EMAIL, "<EMAIL>"), _PII_DIGITS, "<NUM>"
     )
@@ -875,7 +875,7 @@ SYMSPELL_MAX_BUCKET = 256
 def text_symspell_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = (
         load_table(spark, sf_dir, "part")
-        .select(F.explode(F.split(F.lower("p_name"), " ")).alias("w"))
+        .select(F.explode(F.split(fold("p_name"), " ")).alias("w"))
         .filter(F.col("w") != "")
         .distinct()
     )
@@ -1763,7 +1763,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             # code point, keeping surrogate pairs whole (codepoint parity
             # with DuckDB's string_split_regex(text, ''))
             F.explode(
-                F.regexp_extract_all(F.lower(F.col("text")), F.lit("(?s)."), 0)
+                F.regexp_extract_all(fold(F.col("text")), F.lit("(?s)."), 0)
             ).alias("c"),
         )
         .filter(F.col("c") != "")

@@ -188,7 +188,10 @@ def _bigram_udtf():
         def eval(self, text: str):  # noqa: D102 - UDTF contract
             import re
 
-            toks = re.findall(r"[a-z]+", (text or "").lower())
+            from mapreduce_docker_spark.functions.tokenize import py_fold
+
+            # simple-casing fold law (r14): match tokenize.fold / the oracle
+            toks = re.findall(r"[a-z]+", py_fold(text or ""))
             for i in range(len(toks) - 1):
                 yield i, f"{toks[i]} {toks[i + 1]}"
 
@@ -307,7 +310,10 @@ def _ngram_udtf():
         def eval(self, text: str, n: int):  # noqa: D102 - UDTF contract
             import re
 
-            toks = re.findall(r"[a-z]+", (text or "").lower())
+            from mapreduce_docker_spark.functions.tokenize import py_fold
+
+            # simple-casing fold law (r14): match tokenize.fold / the oracle
+            toks = re.findall(r"[a-z]+", py_fold(text or ""))
             for i in range(len(toks) - n + 1):
                 yield (i, *toks[i : i + n])
 

@@ -144,6 +144,7 @@ def q_wordcount_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re
     from operator import add
 
+    from mapreduce_docker_spark.functions.tokenize import py_fold
     from mapreduce_docker_spark.operators.rdd_parity import to_df
 
     # maximal [a-z]+ runs over lowered text — the engine/oracle tokenizer
@@ -156,7 +157,7 @@ def q_wordcount_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
         # NULL text yields no tokens — the DataFrame lane gets this free
         # (explode(NULL) emits nothing) and the oracle's unnest(NULL)
         # matches; the Python lane must say it explicitly
-        lines.flatMap(lambda s: re.findall(r"[a-z]+", s.lower()) if s else [])
+        lines.flatMap(lambda s: re.findall(r"[a-z]+", py_fold(s)) if s else [])
         .map(lambda w: (w, 1))
         .reduceByKey(add)
     )

@@ -159,32 +159,52 @@ def _load_all() -> None:
 # full-oracle green, zero errors — the first fully-clean window since
 # r4 (CORRECTNESS_r12).
 #
-# Round 13 window = fixes-before-freshness (standing precedent), then
-# the ENTIRE remaining r6/r7 freshness tail, then the oldest r8 names:
-#   * 5 standing canaries;
-#   * 2 re-certs for the r13 in-round fix — the order-statistic
-#     extension of the finite-measure law (judge-r12 next-round #1,
-#     seed-429 band-4 find: one NaN in a group flips WHICH column goes
-#     NaN between Spark's NaN-last percentile order and DuckDB's
-#     drop-NaN-keep-Inf one; SCALING.md "Order-statistic NaN
-#     placement", tests/test_crafted_truth45):
-#     agg_percentiles_by_segment (also the oldest-cohort r7 name),
-#     agg_winsorized_value_stats;
-#   * the 9 remaining r6-era names (clears the r6 cohort completely;
-#     wordcount_top20/wordcount_strict_top20 hand truths pre-written in
-#     tests/test_crafted_truth44, window_range_price_band's nonfinite
-#     RANGE-frame agreement pinned in test_crafted_truth45);
-#   * the 27 remaining r7-era names (clears the r7 cohort completely);
-#   * 2 re-certs for the r13 path-safety law (judge-r12 ADVICE #3:
-#     '"'/'\\'-bearing props keys break the oracle's quoted '$."k"'
-#     path, so such objects are NO properties on both engines —
-#     engine-path change, so fixes-before-freshness applies):
-#     json_map_entries, map_hof_event_props;
-#   * 5 r8-era names in stale_report sorted order (the next two,
-#     events_funnel_conversion + multimodal_features, roll to r14) —
-#     after this window nothing in the driver record is older than r8
-#     (judge-r12 next-round #3).
-# 5 + 2 + 9 + 27 + 2 + 5 = 50.
+# Round 13 window (archived summary; full rationale in git history at
+# 985ac8d): 5 canaries + 2 order-statistic finite-measure re-certs
+# (agg_percentiles_by_segment, agg_winsorized_value_stats) + the 9
+# remaining r6-era names + the 27 remaining r7-era names + 2 JSON
+# path-safety re-certs (json_map_entries, map_hof_event_props) + the
+# first 5 r8-era names. Result: 45/45 full-oracle green + 5 rows-only
+# clean, zero errors — the second consecutive fully-clean window
+# (CORRECTNESS_r13). Nothing in the driver record is older than r8.
+#
+# Round 14 window = fixes-before-freshness (standing precedent, judge
+# item #7 — this round the fixes DOMINATE because the new band-5/band-6
+# differential regimes each measured a law on their first rotation):
+#   * 5 standing canaries (wordcount + dedup_minhash_pairs double as
+#     fold-law re-certs — both tokenize);
+#   * 1 re-cert for the quantized-mean law (band-5 seed 547: a float avg
+#     of six 4-dp cosines landed exactly on the 0.00005 half-boundary
+#     and one ulp of accumulation-order drift flipped dround across
+#     engines; the mean is now an exact scaled-integer BIGINT sum
+#     divided once; SCALING.md "Quantized-mean boundary",
+#     tests/test_crafted_truth46): sim_label_cohesion;
+#   * 32 re-certs for the simple-casing fold law (band-6 seed 615: Java
+#     FULL lowercase vs utf8proc/RE2 SIMPLE lowercase diverge on İ
+#     U+0130 and final-sigma Σ — 38 queries diverged through the shared
+#     tokenizer; the engine fold now pre-reduces İ->i, Σ->σ, SCALING.md
+#     "Simple-casing fold law", tests/test_crafted_truth46) — every
+#     oracle-carrying query whose ENGINE plan goes through tokens()/
+#     fold()/py_fold, enumerated by AST scan + the seed-615 divergence
+#     list (wordcount_strict_top20 is fold-EXEMPT by contract and NOT
+#     re-certed for this law);
+#   * 9 r8/r9-era freshness names that are THEMSELVES fold-affected
+#     (their slots serve both purposes): sketch_cms_counters,
+#     text_chunk_windows, text_repetition_filter,
+#     text_symspell_vocab_pairs (r8); text_pack_sequences,
+#     text_quality_score, text_tfidf_top_term, text_token_stats,
+#     text_unigram_surprisal (r9);
+#   * 3 pure-freshness r8 names in stale_report order
+#     (events_funnel_conversion, multimodal_features,
+#     multimodal_frame_stats — crafted truths for the first two
+#     pre-written in tests/test_crafted_truth46).
+# 5 + 1 + 32 + 9 + 3 = 50. The remaining r8/r9 freshness tail
+# (multimodal/profile/sampling/streaming rows-only family, layout/
+# tpch/sample r9 names) rolls to r15 — fixes-before-freshness: every
+# name above EXCEPT the 3 pure-freshness slots sits on an engine path
+# this round's two laws changed, and an uncertified law re-cert
+# outranks a stale-but-unchanged green (r12 precedent: the
+# finite-measure law queue displaced freshness the same way).
 _PRIORITY_WINDOW = (
     # --- standing canaries ---
     "wordcount",
@@ -192,56 +212,55 @@ _PRIORITY_WINDOW = (
     "dedup_minhash_pairs",
     "window_running_spend",
     "events_sessionize",
-    # --- r13 in-round fix: order-statistic finite-measure extension ---
-    "agg_percentiles_by_segment",
-    "agg_winsorized_value_stats",
-    # --- r6-era freshness (the full remaining cohort) ---
-    "setop_except_statuses",
-    "setop_exceptall_priorities",
-    "setop_intersect_statuses",
-    "setop_union_by_name",
-    "setop_union_segments",
-    "window_range_price_band",
-    "window_top3_orders_per_customer",
-    "wordcount_strict_top20",
-    "wordcount_top20",
-    # --- r7-era freshness (the full remaining cohort) ---
-    "agg_approx_distinct_users",
-    "agg_distinct_customers",
-    "agg_pivot_status_by_segment",
-    "agg_unpivot_balances",
+    # --- r14 in-round fix: quantized-mean law (seed 547) ---
+    "sim_label_cohesion",
+    # --- r14 in-round fix: simple-casing fold law (seed 615) ---
+    "bloom_benchmark_filter",
+    "bootstrap_zip_wordcount",
+    "dedup_exact_groups",
+    "dedup_exact_survivors",
+    "dedup_jaccard_sample",
+    "dedup_minhash_signatures",
+    "dedup_pair_similarity_report",
     "dedup_simhash",
     "dedup_simhash_buckets",
-    "graph_pagerank_purchases",
-    "join_left_customer_orders",
-    "join_semi_urgent_customers",
-    "join_theta_acctbal_band",
-    "q10_returned_item_losses",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q19_discounted_revenue",
-    "q20_potential_part_promotion",
-    "q21_waiting_suppliers",
-    "q7_volume_shipping",
-    "q9_product_type_profit",
-    "scalar_datetime_events",
-    "scalar_interval_orders",
-    "sketch_cms_heavy_hitters",
-    "text_bigrams_top30",
-    "text_pii_scrub",
-    "topk_orders_by_price",
-    "udf_udtf_bigrams",
-    "wordcount_total_tokens",
-    "wordcount_unique",
-    # --- r13 in-round fix: JSON path-safety law ---
-    "json_map_entries",
-    "map_hof_event_props",
-    # --- r8-era freshness (first 5 in stale_report sorted order) ---
-    "agg_approx_percentiles",
-    "agg_collect_order_keys",
-    "agg_hll_sketch_union_users",
-    "bootstrap_zip_wordcount",
     "dedup_span_tiles",
+    "text_bigram_surprisal",
+    "text_bigrams_top30",
+    "text_char_entropy",
+    "text_curation_pipeline",
+    "text_decontaminate_bloom",
+    "text_decontaminate_ngram",
+    "text_fingerprint",
+    "text_langid_nb",
+    "text_length_buckets",
+    "text_pii_scrub",
+    "text_source_kl_divergence",
+    "text_tfidf_pair_cosine",
+    "text_training_shards",
+    "text_zipf_slope",
+    "udf_udtf_analyze_trigrams",
+    "udf_udtf_bigrams",
+    "wordcount_console_top20",
+    "wordcount_rdd",
+    "wordcount_top20",
+    "wordcount_total_tokens",
+    "wordcount_tsv_roundtrip",
+    "wordcount_unique",
+    # --- fold-affected r8/r9 freshness (dual-purpose slots) ---
+    "sketch_cms_counters",
+    "text_chunk_windows",
+    "text_repetition_filter",
+    "text_symspell_vocab_pairs",
+    "text_pack_sequences",
+    "text_quality_score",
+    "text_tfidf_top_term",
+    "text_token_stats",
+    "text_unigram_surprisal",
+    # --- pure r8 freshness (first 3 in stale_report sorted order) ---
+    "events_funnel_conversion",
+    "multimodal_features",
+    "multimodal_frame_stats",
 )
 
 

@@ -7,9 +7,16 @@ Usage: python tools/random_differential.py [--skip-rows-only] [seed ...]
 Seed bands select probe-diversity REGIMES (seed // 100): 0-99 balanced,
 100-199 high-NULL (3x NULL rates — three-valued-logic stress), 200-299
 ties-everywhere (quantized pools dominate — rank/cut-line/frame
-stress), 300-399 hot-key skew (skew-join and bucket-route stress). The
-band is derived from the seed, so a finding's replay command is still
-just the seed number.
+stress), 300-399 hot-key skew (skew-join and bucket-route stress),
+400-499 nonfinite measures (NaN/±Inf), 500-599 negative-zero +
+subnormal measures (IEEE ordering/grouping/rounding seams), 600-699
+exotic text (non-BMP astral chars, combining marks, locale-sensitive
+case-mapping words in doc texts AND props keys, plus exact day-edge
+timestamps against the 24 h sessionizer segments). Bands 5-6 opened in
+r14 (judge-r13 next-round #3) after band 4 went quiet. The band is
+derived from the seed, so a finding's replay command is still just the
+seed number; bands 0-4 generate byte-identical fixtures to their r12/r13
+vintages (the new injections are gated to their own bands).
 
 The degenerate sweep probes ONE crafted nasty fixture: every degenerate
 value class appears exactly once, placed by hand. What it cannot reach
@@ -104,6 +111,21 @@ WORDS = (
     "join stream spark group query row data slow filter customer line "
     "batch value a was dog quick"
 ).split()
+# Band-6 exotic word pool: astral-plane (non-BMP) code points, combining
+# marks (composed vs decomposed é), and the classic locale-sensitive
+# case-mapping seams (Greek final sigma, Turkish dotted İ, capital ẞ) —
+# the tokenizer/lower()/regex laws had only ever been probed on ASCII
+# and one fixed unicode row (judge-r13 next-round #3).
+EXOTIC_WORDS = [
+    "café",            # composed é
+    "café",           # decomposed e + combining acute
+    "\U0001d4e2\U0001d4f8\U0001d4ea\U0001d4fb\U0001d4f4",  # 𝓢𝓸𝓪𝓻𝓴-ish math script (astral)
+    "\U0001f680\U0001f680", # rocket emoji pair (astral)
+    "naïve",
+    "ΣΟΦΟΣ",  # ΣΟΦΟΣ — final-sigma lowercase seam
+    "İstanbul",        # Turkish dotted capital İ
+    "straẞe",          # capital sharp s ẞ
+]
 EMB_DIM = 64
 
 
@@ -114,9 +136,22 @@ EMB_DIM = 64
 # concentrates FKs on the hot key (skew-join and bucket-route stress);
 # band 4 (400-499) injects NaN/+Inf/-Inf into MEASURE columns — opened
 # in r12 by the finite-measure law that brought the variance family into
-# the oracle contract (SCALING.md "NaN frontier"). The band is derived
-# from the seed so the replay command stays just the seed number.
-_MODE = {"null_mult": 1.0, "tie_cut": 0.55, "skew_cut": 0.6, "nonfinite": 0.0}
+# the oracle contract (SCALING.md "NaN frontier"); band 5 (500-599)
+# injects -0.0 and IEEE subnormals into measures (ordering / grouping /
+# rounding seams — Spark normalizes -0.0 in agg keys, does the oracle?);
+# band 6 (600-699) swaps in the EXOTIC_WORDS text pool (non-BMP astral,
+# combining marks, locale case-mapping seams) for doc texts and props
+# keys, and appends exact day-edge timestamps to events. Bands 5-6
+# opened in r14 (judge-r13 next-round #3). The band is derived from the
+# seed so the replay command stays just the seed number.
+_MODE = {
+    "null_mult": 1.0,
+    "tie_cut": 0.55,
+    "skew_cut": 0.6,
+    "nonfinite": 0.0,
+    "negzero_sub": 0.0,
+    "exotic_text": False,
+}
 
 
 def _set_mode(seed: int) -> None:
@@ -125,6 +160,8 @@ def _set_mode(seed: int) -> None:
     _MODE["tie_cut"] = 0.25 if band == 2 else 0.55
     _MODE["skew_cut"] = 0.3 if band == 3 else 0.6
     _MODE["nonfinite"] = 0.04 if band == 4 else 0.0
+    _MODE["negzero_sub"] = 0.06 if band == 5 else 0.0
+    _MODE["exotic_text"] = band == 6
 
 
 def _cat(r: random.Random, pool, p_null=0.06, p_degen=0.05):
@@ -143,12 +180,19 @@ def _money(r: random.Random, lo, hi, ties=None, p_null=0.05, p_zero=0.04, p_neg=
         return None
     if x < p_null * _MODE["null_mult"] + _MODE["nonfinite"]:
         return r.choice([float("nan"), float("inf"), float("-inf")])
-    if x < p_null * _MODE["null_mult"] + _MODE["nonfinite"] + p_zero:
+    nf_cut = p_null * _MODE["null_mult"] + _MODE["nonfinite"]
+    if x < nf_cut + _MODE["negzero_sub"]:
+        # band 5: negative zero + subnormals. -0.0 probes agg-key
+        # normalization and min/max sign selection; 5e-324 (the smallest
+        # subnormal) and 1e-310 probe gradual-underflow arithmetic and
+        # the canonical round(7) floor; their negatives probe ordering.
+        return r.choice([-0.0, 5e-324, -5e-324, 1e-310, -1e-310])
+    if x < nf_cut + _MODE["negzero_sub"] + p_zero:
         return 0.0
     if ties is not None and x > _MODE["tie_cut"]:  # quantized pool ⇒ ties
         return r.choice(ties)
     v = round(r.uniform(lo, hi), 2)
-    neg_cut = p_null * _MODE["null_mult"] + _MODE["nonfinite"] + p_zero + p_neg
+    neg_cut = nf_cut + _MODE["negzero_sub"] + p_zero + p_neg
     return -v if x < neg_cut else v
 
 
@@ -170,7 +214,8 @@ def _fk(r: random.Random, pool, p_null=0.07, p_dangle=0.06, skew=None):
 
 
 def _text(r: random.Random, lo=3, hi=40):
-    return " ".join(r.choice(WORDS) for _ in range(r.randint(lo, hi)))
+    pool = WORDS + EXOTIC_WORDS if _MODE["exotic_text"] else WORDS
+    return " ".join(r.choice(pool) for _ in range(r.randint(lo, hi)))
 
 
 def build_fixture(seed: int) -> dict[str, list[tuple]]:
@@ -327,9 +372,40 @@ def build_fixture(seed: int) -> dict[str, list[tuple]]:
                          '{"qu\\"ote": %d}' % r.randint(0, 9),
                          '{"back\\\\slash": %d}' % r.randint(0, 9),
                          '{"dot.key": %d}' % r.randint(0, 99)]
+                        # band-6 probes (r14): non-ASCII keys — astral
+                        # key BESIDE "k" (k must stay addressable),
+                        # composed vs decomposed é as distinct keys, and
+                        # "k"+combining-acute, which must NOT match the
+                        # '$."k"' path. Appended conditionally so bands
+                        # 0-5 consume identical RNG draws.
+                        + (
+                            [
+                                '{"\U0001f680": %d, "k": %d}'
+                                % (r.randint(0, 9), r.randint(0, 99)),
+                                '{"café": %d}' % r.randint(0, 9),
+                                '{"café": %d}' % r.randint(0, 9),
+                                '{"ḱ": %d}' % r.randint(0, 99),
+                            ]
+                            if _MODE["exotic_text"]
+                            else []
+                        )
                     ),
                 )
             )
+            eid += 1
+    if _MODE["exotic_text"]:
+        # band-6 day-edge probes (r14): exact-midnight, last-microsecond
+        # and first-microsecond timestamps stress date_trunc/to_date day
+        # windows and the sessionizer's 24 h segment boundaries (which had
+        # only ever seen mid-day event times)
+        u0 = users[0]
+        for bts, et in [
+            (dt.datetime(2024, 1, 15, 0, 0, 0), "view"),
+            (dt.datetime(2024, 1, 15, 23, 59, 59, 999999), "click"),
+            (dt.datetime(2024, 1, 16, 0, 0, 0), "purchase"),
+            (dt.datetime(2024, 1, 16, 0, 0, 0, 1), "view"),
+        ]:
+            ev.append((eid, bts, u0, et, _money(r, 0.01, 330), None))
             eid += 1
     ev.append((eid, None, r.choice(users), "view", 1.0, None)); eid += 1
     ev.append((eid, dt.datetime(1969, 12, 30, 12), r.choice(users), "click", 2.0, "{}")); eid += 1
