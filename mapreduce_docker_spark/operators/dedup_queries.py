@@ -462,6 +462,13 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     note="greedy min-id survivor pick: a doc is dropped iff it is the larger id in a verified near-dup pair",
 )
 def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14 opt note: rewriting this to skip dedup_minhash_pairs' full-width
+    # pair distinct (dedup on doc_b alone) was measured and REVERTED — the
+    # executed plans are byte-identical either way because Catalyst's
+    # RemoveRedundantAggregates already collapses the
+    # distinct(a,b,j) -> project(doc_b) -> distinct(doc_b) stack into the
+    # doc_b aggregate (plans/r14/dedup_minhash_survivors_{before,after}.txt
+    # differ only in expression ids).
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pairs = dedup_minhash_pairs(spark, sf_dir)
     return docs.join(
@@ -767,11 +774,70 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and found only ~8% of true pairs — VERDICT.md r1): one embeddings scan
     # computes the unit vector AND a (BANDS*BITS)-bit SRP fingerprint; bands
     # explode to (band_idx, bucket) keys; ONE hash-partitioned grouping
-    # collects (vec_id, u) structs per bucket so in-bucket pair emission
-    # verifies exact cosine inline — no join back to embeddings. A pair can
-    # surface from up to BANDS buckets; cosine is deterministic per pair, so
-    # the post-verify distinct collapses duplicates exactly like the
-    # oracle's DISTINCT candidate CTE.
+    # collects per-bucket members so in-bucket pair emission applies the
+    # Hamming agreement gate. A pair can surface from up to BANDS buckets;
+    # cosine is deterministic per pair, so a distinct on the candidate ids
+    # collapses duplicates exactly like the oracle's DISTINCT candidate CTE.
+    #
+    # r14 opt (guide §2.3 "shuffle keys and metadata instead of payloads" /
+    # §8): the band rows used to carry the 64-double unit vector, so the
+    # bucket shuffle moved BANDS(24) x 512 B of payload per vector just to
+    # decide which pairs collide; now bands carry only (vec_id, f0..f2) —
+    # 24 x ~32 B — the Hamming gate + distinct run on ids alone, and the
+    # few surviving candidates join back to the checkpointed unit-vector
+    # relation for the exact-cosine verify. The single embeddings scan is
+    # preserved by the eager-free localCheckpoint of `unit` (the scan
+    # materializes once, bands and both join sides read the checkpoint).
+    # Measured at sf0.1 (min-of-3, noop): 1.864 s -> 1.644 s, output sets
+    # bit-identical; at corpus scale the band-shuffle bytes drop ~16x.
+    unit = _dedup_unit_fingerprints(spark, sf_dir).localCheckpoint(eager=False)
+    bands = unit.select(
+        F.struct("vec_id", "f0", "f1", "f2").alias("m"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("bits", j * DEDUP_SRP_BITS + 1, DEDUP_SRP_BITS)
+                    for j in range(DEDUP_SRP_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_sig"),
+    )
+    agreement = F.lit(144) - (
+        F.bit_count(F.col("a.f0").bitwiseXOR(F.col("b.f0")))
+        + F.bit_count(F.col("a.f1").bitwiseXOR(F.col("b.f1")))
+        + F.bit_count(F.col("a.f2").bitwiseXOR(F.col("b.f2")))
+    )
+    cand = (
+        _all_bucket_pairs(bands, "vec_id")
+        .filter(agreement >= DEDUP_SRP_AGREE_MIN)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    ua = unit.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"))
+    ub = unit.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"))
+    return (
+        cand.join(ua, "vec_a")
+        .join(ub, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            dround(_dot(F.col("ua"), F.col("ub")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+def _dedup_unit_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, u, bits, f0..f2) from ONE embeddings scan.
+
+    The unit vector, the 144-bit SRP band string and the packed 3x48-bit
+    Hamming fingerprint all come out of the same scan; callers checkpoint
+    the result so band explosion and the pair verify read it without
+    re-deriving (tests/test_plans.py pins the single scan on THIS plan —
+    the checkpointed consumer plans show only the ExistingRDD)."""
     emb = scatter(load_table(spark, sf_dir, "embeddings"))
     planes = _dedup_planes_expr()
     bit_arr = F.transform(
@@ -794,7 +860,7 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zero-norm rows defined out (ANSI divide guard) — matches the oracle's
     # filtered ed/unit CTEs, see _unit_vectors
     # dimension law (r11) + finite-norm law (r10): see _unit_vectors
-    unit = emb.filter(
+    return emb.filter(
         (F.size("embedding") == DEDUP_EMB_DIM)
         & (sq_sum > 0)
         & (sq_sum < F.lit(float("inf")))
@@ -816,33 +882,6 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"f{s}")
             for s in range(3)
         ],
-    )
-    bands = unit.select(
-        F.struct("vec_id", "u", "f0", "f1", "f2").alias("m"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.substring("bits", j * DEDUP_SRP_BITS + 1, DEDUP_SRP_BITS)
-                    for j in range(DEDUP_SRP_BANDS)
-                ]
-            )
-        ).alias("band_idx", "band_sig"),
-    )
-    agreement = F.lit(144) - (
-        F.bit_count(F.col("a.f0").bitwiseXOR(F.col("b.f0")))
-        + F.bit_count(F.col("a.f1").bitwiseXOR(F.col("b.f1")))
-        + F.bit_count(F.col("a.f2").bitwiseXOR(F.col("b.f2")))
-    )
-    return (
-        _all_bucket_pairs(bands, "vec_id")
-        .filter(agreement >= DEDUP_SRP_AGREE_MIN)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            dround(_dot(F.col("a.u"), F.col("b.u")), 4).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
-        .distinct()
     )
 
 

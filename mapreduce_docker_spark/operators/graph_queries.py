@@ -117,60 +117,57 @@ def triangle_census(e: DataFrame) -> DataFrame:
     graph_scaling probe (which feeds synthetically replicated edges), so
     the probe measures exactly the registered plan.
     """
-    # the edge list is reused by four aggregates and two self-join probes;
-    # persist the tiny verified-pair relation instead of re-running LSH
-    e = e.persist()
-    try:
-        deg = (
-            e.select(F.col("lo").alias("v"))
-            .unionAll(e.select(F.col("hi").alias("v")))
-            .groupBy("v")
-            .agg(F.count(F.lit(1)).alias("d"))
+    # The edge relation feeds FOUR branch scans (deg + the e1/e2/e3
+    # self-join); materialize it ONCE with an eager localCheckpoint and cut
+    # the (expensive — LSH for the registered query) lineage, then return
+    # the census as a LAZY plan over the checkpointed edges. The r13 shape
+    # (lazy persist + 6 aggregate branches + an eager checkpoint of the
+    # 1-row output) made the single materializing job race its branch
+    # stages into the not-yet-populated cache, re-deriving the LSH edge
+    # lineage several times: measured at sf0.1 (r14 opt round, min-of-3,
+    # noop sink) the full query cost 3.11 s while dedup_minhash_pairs alone
+    # is 1.16 s and the census over pre-checkpointed edges is 0.021 s —
+    # ~1.9 s of pure branch-recompute overhead (guide §2.4/§5: cut lineage,
+    # don't re-derive). n_nodes/n_edges/n_wedges now also come out of ONE
+    # aggregate over deg (sum(d) = 2|E| exactly, every edge contributing
+    # one lo and one hi) instead of three separate branch scans.
+    e = e.localCheckpoint(eager=True)
+    deg = (
+        e.select(F.col("lo").alias("v"))
+        .unionAll(e.select(F.col("hi").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.expr("coalesce(sum(d) div 2, CAST(0 AS BIGINT))").alias("n_edges"),
+        F.coalesce(F.sum(F.col("d") * (F.col("d") - 1) / F.lit(2)), F.lit(0.0))
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e1.lo") == F.col("e2.lo")) & (F.col("e1.hi") < F.col("e2.hi")),
         )
-        e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-        tri = (
-            e1.join(
-                e2,
-                (F.col("e1.lo") == F.col("e2.lo")) & (F.col("e1.hi") < F.col("e2.hi")),
-            )
-            .join(
-                e3,
-                (F.col("e3.lo") == F.col("e1.hi")) & (F.col("e3.hi") == F.col("e2.hi")),
-            )
-            .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .join(
+            e3,
+            (F.col("e3.lo") == F.col("e1.hi")) & (F.col("e3.hi") == F.col("e2.hi")),
         )
-        n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-        n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
-        wedges = deg.agg(
-            F.coalesce(
-                F.sum(F.col("d") * (F.col("d") - 1) / F.lit(2)), F.lit(0.0)
-            )
-            .cast("long")
-            .alias("n_wedges")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return stats.crossJoin(tri).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(F.col("n_wedges") == 0, F.lit(0.0))
+        .otherwise(
+            dround(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6)
         )
-        out = (
-            n_nodes.crossJoin(n_edges)
-            .crossJoin(wedges)
-            .crossJoin(tri)
-            .select(
-                "n_nodes",
-                "n_edges",
-                "n_wedges",
-                "n_triangles",
-                F.when(F.col("n_wedges") == 0, F.lit(0.0))
-                .otherwise(
-                    dround(
-                        F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
-                    )
-                )
-                .alias("clustering"),
-            )
-        )
-        # materialize before unpersist so the cached edges feed every branch
-        out = out.localCheckpoint(eager=True)
-    finally:
-        e.unpersist()
-    return out
+        .alias("clustering"),
+    )
 
 
 def _purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

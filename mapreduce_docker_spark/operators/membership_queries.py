@@ -204,28 +204,48 @@ def q_bloom_benchmark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact shingle join, false positives deterministic and identical on "
         "both engines; no false negatives by construction (superset of the "
         "exact flags, pinned in tests/test_membership.py). Probe side: the "
-        f"filter ships as an M-char bitmap literal (bounded collect, M={BLOOM_M}) "
-        "and membership is a map-side K-substring expression in codegen — "
+        f"filter ships as an M-bit bitmap literal (bounded collect, M={BLOOM_M}, "
+        "an array of M/64 longs) and membership is a map-side K-getbit "
+        "expression in codegen — "
         "one corpus scan, zero joins, the only shuffle carries the member "
         "subset (plan pinned: no join, no pre-filter exchange)"
     ),
 )
 def q_text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Materialize the filter as an M-char '0'/'1' BITMAP LITERAL: the
-    # collect is bounded at M=BLOOM_M values whatever the benchmark holds (the
-    # SRP-plane / query-matrix budget class), and membership becomes a pure
-    # map-side expression — K affine maps + K substring probes per distinct
-    # shingle, inside whole-stage codegen. No probe explosion, no join:
-    # this is what shipping a real Bloom filter to workers IS. Member
-    # shingles are filtered BEFORE the distinct, so the only shuffle
-    # carries the (tiny) contaminated subset.
+    # Materialize the filter as an M-bit BITMAP LITERAL — an array of
+    # M/64 longs: the collect is bounded at M=BLOOM_M values whatever the
+    # benchmark holds (the SRP-plane / query-matrix budget class), and
+    # membership becomes a pure map-side expression — K affine maps + K
+    # getbit probes per distinct shingle, inside whole-stage codegen. No
+    # probe explosion, no join: this is what shipping a real Bloom filter
+    # to workers IS. Member shingles are filtered BEFORE the distinct, so
+    # the only shuffle carries the (tiny) contaminated subset.
+    # r14 opt: the bitmap used to be an M-char '0'/'1' STRING probed with
+    # substring(bitmap, pos, 1) — but UTF8String.substringSQL re-counts
+    # chars from the start of the 16 KB literal on EVERY probe, an O(M)
+    # byte scan per probe that dominated the whole query (guide §1.2
+    # per-task work: measured 1.366 s -> 0.881 s at sf0.1, min-of-3, noop
+    # sink, outputs bit-identical). getbit(long, pos) is O(1).
     set_bits = {r["bit"] for r in _bench_bits(spark, sf_dir).collect()}
-    bitmap = F.lit("".join("1" if i in set_bits else "0" for i in range(BLOOM_M)))
+    words = []
+    for w in range(BLOOM_M // 64):
+        v = 0
+        for j in range(64):
+            if (w * 64 + j) in set_bits:
+                v |= 1 << j
+        words.append(v - (1 << 64) if v >= 1 << 63 else v)  # two's complement
+    bitmap = F.lit(words)
     h = th.shingle_hash(F.col("s"))
     member = None
     for a, b in zip(BLOOM_A, BLOOM_B):
         pos = ((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)) % F.lit(BLOOM_M)
-        probe = F.substring(bitmap, (pos + 1).cast("int"), 1) == "1"
+        probe = (
+            F.getbit(
+                F.element_at(bitmap, (pos / 64 + 1).cast("int")),
+                (pos % 64).cast("int"),
+            )
+            == 1
+        )
         member = probe if member is None else (member & probe)
     # scatter: the corpus-side tokenize+md5 is the map-heavy hot path, and a
     # single-row-group fixture file would otherwise run it on one core; the

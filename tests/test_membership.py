@@ -90,7 +90,9 @@ def test_bloom_probe_is_joinless_mapside(spark):
     for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin", "NestedLoop"):
         assert j not in plan, plan
     below_first_exchange = plan.split("Exchange", 1)[-1]
-    assert "substring" in below_first_exchange, plan
+    # r14 opt: the bitmap is an array<long> probed with getbit (O(1)); the
+    # old M-char string's substring probe re-counted 16 KB per probe
+    assert "getbit" in below_first_exchange, plan
 
 
 def test_filter_stats_internally_consistent(spark):

@@ -171,10 +171,23 @@ def test_no_python_udf_in_sql_oracle_paths(spark, specs):
 
 def test_embedding_lsh_single_embeddings_scan(spark, specs):
     """SRP-band near-dup must read `embeddings` ONCE: the unit vector and
-    the 144-bit fingerprint come out of the same scan and verification
-    rides the bucket grouping (no join back to the table)."""
+    the 144-bit fingerprint come out of one scan (`_dedup_unit_fingerprints`),
+    which the query checkpoints — bands and the verify join-back then read
+    the checkpoint, so the executed plan must show ZERO parquet re-scans
+    (r14 opt: bands carry ids+fingerprints only, never the unit vector)."""
+    from mapreduce_docker_spark.operators.dedup_queries import (
+        _dedup_unit_fingerprints,
+    )
+
+    base = (
+        _dedup_unit_fingerprints(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert base.count("embeddings.parquet") == 1, base
     plan = _plan(spark, specs, "dedup_embedding_pairs")
-    assert plan.count("embeddings.parquet") == 1, plan
+    assert plan.count("embeddings.parquet") == 0, plan
 
 
 def test_curation_single_documents_scan(spark, specs):

@@ -58,6 +58,13 @@ KNOWN: dict[str, tuple[frozenset[str], str]] = {
         frozenset({"bnlj"}),
         "1-row filter-stats relation (bits set / fill ratio) broadcast",
     ),
+    "graph_triangle_stats": (
+        frozenset({"bnlj"}),
+        "1-row census aggregates crossJoined (stats x triangles); the r13 "
+        "eager output checkpoint hid the same crossJoins behind an "
+        "ExistingRDD scan — r14 returns the census lazily over the "
+        "checkpointed edge relation instead (see triangle_census)",
+    ),
     "sim_ann_ivf_stored": (
         frozenset({"bnlj"}),
         "10-row query matrix broadcast against candidate buckets (bounded)",
