@@ -243,7 +243,7 @@ _SQL_SIG_CTE = f"""
 def _sig_cols_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, s0..s15): MinHash signature via explode + codegen min-agg."""
     ex = (
-        scatter(load_table(spark, sf_dir, "documents"))
+        scatter(load_table(spark, sf_dir, "documents"), key="doc_id")
         .select("doc_id", F.explode(th.shingles(tokens("text"))).alias("s"))
         .select("doc_id", th.shingle_hash(F.col("s")).alias("h"))
     )
@@ -444,7 +444,9 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic per pair, so a post-filter distinct (on small rows — the
     # hash arrays are already dropped) collapses the duplicates exactly as
     # the oracle's DISTINCT candidate CTE does.
-    return minhash_pairs_from_docs(scatter(load_table(spark, sf_dir, "documents")))
+    return minhash_pairs_from_docs(
+        scatter(load_table(spark, sf_dir, "documents"), key="doc_id")
+    )
 
 
 @register(
@@ -1235,7 +1237,9 @@ def dedup_cluster_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_pair_similarity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _sig_with_hashset_df(
-        scatter(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+        scatter(load_table(spark, sf_dir, "documents"), key="doc_id").select(
+            "doc_id", "text"
+        )
     )
     bands = sig.select(
         F.struct("doc_id", "hs").alias("m"),

@@ -253,7 +253,7 @@ def q_text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # named projection before a generator blocks project collapse and
     # re-evaluates the tokenize chain — measured ~9x here)
     return (
-        scatter(load_table(spark, sf_dir, "documents"))
+        scatter(load_table(spark, sf_dir, "documents"), key="doc_id")
         .filter(F.col("doc_id") >= BENCH_MAX_DOC)
         .select("doc_id", F.explode(th.shingles(tokens("text"))).alias("s"))
         .select("doc_id", h.alias("h"))

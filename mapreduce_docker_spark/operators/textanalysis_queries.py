@@ -1065,7 +1065,7 @@ def _curation_base(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:  # pragma: no cover - session already stopped
             pass
 
-    docs = scatter(_docs(spark, sf_dir)).select(
+    docs = scatter(_docs(spark, sf_dir), key="doc_id").select(
         "doc_id", "lang", tokens("text").alias("toks")
     )
     items = docs.select(
@@ -1342,7 +1342,7 @@ def text_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     corp = (
-        scatter(_docs(spark, sf_dir))
+        scatter(_docs(spark, sf_dir), key="doc_id")
         .filter(F.col("doc_id") >= DECON_BENCH_MAX_DOC)
         .select("doc_id", F.explode(th.shingles(tokens("text"))).alias("s"))
     )
@@ -1755,7 +1755,7 @@ def text_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = (
-        scatter(_docs(spark, sf_dir))
+        scatter(_docs(spark, sf_dir), key="doc_id")
         .filter(F.length("text") > 0)
         .select(
             "doc_id",

@@ -165,8 +165,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def scatter(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to full parallelism IF the scan under-splits.
+def scatter(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Repartition to full parallelism IF the scan under-splits.
 
     Small fixture files are a single parquet row group, so FileSourceScan
     yields ONE input split and every downstream map-side expression (md5,
@@ -176,6 +176,19 @@ def scatter(df: DataFrame) -> DataFrame:
     where the scan already parallelizes; this mirrors the reference's fixed
     50 MB chunking (coordinator.py:11,47-60), which guaranteed >= num_workers
     chunks on any real corpus.
+
+    ``key`` (r14 opt, guide §2.4 "two operations keyed the same way can
+    share one exchange"): callers whose first wide operation groups by a
+    column of the scanned row (the per-doc signature/metric aggregations
+    all key on ``doc_id``) pass it here, so the parallelism shuffle IS the
+    aggregation exchange — hashpartitioning(key) satisfies the
+    ClusteredDistribution of every downstream groupBy whose keys are a
+    superset, removing one Exchange per pipeline (measured at sf0.1:
+    dedup_minhash_pairs 1.509 -> 1.102 s, bloom probe 0.853 -> 0.758 s,
+    outputs bit-identical). It also skips round-robin's
+    sortBeforeRepartition local sort. The key must be deterministic
+    (guide §2.5: never rand-derived) and ~unique per row so balance
+    matches round-robin; at scale this path no-ops like the keyless one.
     """
     if os.environ.get("SPARK_GRAFT_NO_SCATTER"):
         return df
@@ -199,6 +212,8 @@ def scatter(df: DataFrame) -> DataFrame:
             return df  # non-local source: trust the scan's own splitting
         if est_splits >= target:
             return df
+    if key is not None:
+        return df.repartition(target, F.col(key))
     return df.repartition(target)
 
 

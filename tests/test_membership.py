@@ -79,8 +79,12 @@ def test_bloom_filter_is_mergeable_by_bit_union(spark):
 
 def test_bloom_probe_is_joinless_mapside(spark):
     """The filter ships as a bitmap literal; membership must be a map-side
-    expression — NO join anywhere in the probe plan, and the member filter
-    sits below the first exchange (only the contaminated subset shuffles)."""
+    expression — NO join anywhere in the probe plan, and the pipeline pays
+    exactly ONE exchange: the doc_id-keyed scatter, which the per-doc
+    distinct and count both reuse (r14 opt — before, the member subset
+    re-shuffled after the round-robin scatter). The bitmap is an
+    array<long> probed with getbit (O(1)); the old M-char string's
+    substring probe re-counted 16 KB per probe."""
     plan = (
         q_text_decontaminate_bloom(spark, SF)
         ._jdf.queryExecution()
@@ -89,10 +93,8 @@ def test_bloom_probe_is_joinless_mapside(spark):
     )
     for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin", "NestedLoop"):
         assert j not in plan, plan
-    below_first_exchange = plan.split("Exchange", 1)[-1]
-    # r14 opt: the bitmap is an array<long> probed with getbit (O(1)); the
-    # old M-char string's substring probe re-counted 16 KB per probe
-    assert "getbit" in below_first_exchange, plan
+    assert "getbit" in plan, plan
+    assert plan.count("Exchange") == 1, plan
 
 
 def test_filter_stats_internally_consistent(spark):
